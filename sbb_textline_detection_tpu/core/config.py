@@ -1,0 +1,158 @@
+"""Frozen pipeline configuration.
+
+Every magic constant of the reference pipeline is lifted into this single
+frozen dataclass so that behavioral parity is auditable in one place.
+Reference provenance is cited per field (file:line into the upstream
+qurator-spk/sbb_textline_detection repo, `main.py` =
+qurator/sbb_textline_detector/main.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ResizePolicy:
+    """Global page scaling policy (main.py:196-214)."""
+
+    small_page_height_threshold: int = 2500  # main.py:201
+    small_page_target_height: int = 2800     # main.py:202
+    large_page_scale: float = 1.2            # main.py:206
+
+
+@dataclasses.dataclass(frozen=True)
+class TilingConfig:
+    """Overlapped-patch inference geometry (main.py:231-257)."""
+
+    margin_ratio: float = 0.1  # margin = int(0.1 * model_width), main.py:233
+
+
+@dataclasses.dataclass(frozen=True)
+class MorphologyConfig:
+    """Structuring element and iteration counts for each morphology site."""
+
+    kernel_size: int = 5                 # np.ones((5,5)), main.py:57
+    page_dilate_iterations: int = 6      # main.py:397
+    region_erode_iterations: int = 3     # main.py:2074
+    region_dilate_iterations: int = 4    # main.py:2075
+    deskew_crop_erode_iterations: int = 2  # main.py:1734
+
+
+@dataclasses.dataclass(frozen=True)
+class RegionConfig:
+    """Text-region extraction (main.py:456-481)."""
+
+    text_class_value: int = 1            # rgb_class_of_texts=(1,1,1), main.py:457
+    min_area_ratio: float = 0.00001      # main.py:473
+    max_area_ratio: float = 1.0          # main.py:473
+
+
+@dataclasses.dataclass(frozen=True)
+class DeskewConfig:
+    """Per-region deskew angle search (main.py:1601-1718, 1721-1758)."""
+
+    sigma: float = 2.0                   # sigma_des=2, main.py:1737
+    pad_factor: float = 1.4              # main.py:1612
+    coarse_range: Tuple[float, float] = (-25.0, 25.0)  # main.py:1620
+    coarse_steps: int = 80               # main.py:1620
+    vertical_trigger_angle: float = 15.0  # main.py:1669
+    vertical_range: Tuple[float, float] = (-90.0, -50.0)  # main.py:1670
+    vertical_steps: int = 30             # main.py:1670
+    peak_threshold_multiplier: float = 20.3  # main.py:1639
+    pos_peak_min_value: float = 10.0     # interest_pos > 10, main.py:1584
+    slope_sentinel: float = 999.0        # main.py:1740
+    slope_reject_abs: float = 120.5      # main.py:1744
+    vertical_line_split_abs: float = 45.0  # main.py:1514
+
+
+@dataclasses.dataclass(frozen=True)
+class LineSplitConfig:
+    """Projection-profile textline separation (main.py:516-1457)."""
+
+    profile_pad: int = 20                 # y_padded pads 20 each side, main.py:544-545
+    sigma_estimation: float = 2.0         # main.py:553
+    estimation_weak_ratio: float = 0.3    # main.py:564
+    weak_peak_ratio: float = 0.42         # main.py:649
+    sigma_from_spacing: float = 7.0 / 40.0  # main.py:612
+    sigma_min: int = 3                    # main.py:616-617
+    sigma_fallback: int = 12              # main.py:615
+    n_x_samples: int = 1000               # xv = linspace(..., 1000), main.py:537
+    # Up/down extent multipliers for the >=3-peak case (main.py:748-773):
+    strong_up: float = 1.1
+    strong_down: float = 1.1
+    weak_up: float = 1.23
+    weak_down: float = 1.33
+    last_strong_up: float = 1.3
+    last_weak_up: float = 1.4
+    narrow_down: float = 1.1
+    last_narrow_down: float = 1.4
+    # Generic / 2-peak case divisors (main.py:868-943):
+    two_peak_div: float = 1.8
+    generic_div: float = 1.9
+    generic_last_div: float = 1.7
+
+
+@dataclasses.dataclass(frozen=True)
+class ReadingOrderConfig:
+    """Region reading-order heuristic (main.py:1802-1906)."""
+
+    sigma: float = 8.0                    # main.py:1814
+    profile_pad: int = 20                 # main.py:1806-1807
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelNames:
+    """Checkpoint filenames (main.py:58-60); `.h5` or converted `.npz`."""
+
+    page: str = "model_page_mixed_best"
+    region: str = "model_strukturerkennung"
+    textline: str = "model_textline_new"
+
+
+@dataclasses.dataclass(frozen=True)
+class PageXmlConfig:
+    """PAGE-XML serialization constants (main.py:1908-2053)."""
+
+    schema: str = "http://schema.primaresearch.org/PAGE/gts/pagecontent/2019-07-15"
+    creator: str = "SBB_QURATOR"
+    reading_order_group_id: str = "ro357564684568544579089"
+    region_type: str = "paragraph"
+    reading_direction: str = "left-to-right"
+    textline_order: str = "top-to-bottom"
+    page_type: str = "content"
+
+
+@dataclasses.dataclass(frozen=True)
+class RuntimeConfig:
+    """TPU runtime knobs (no reference equivalent; ours)."""
+
+    # Patch batches are padded up to the next bucket to bound recompiles.
+    batch_buckets: Tuple[int, ...] = (8, 16, 32, 64, 128)
+    # Model compute dtype. Params are kept fp32; matmul/conv run in bf16.
+    compute_dtype: str = "bfloat16"
+    # Maximum regions processed by the fixed-shape deskew sweep at once.
+    deskew_batch: int = 8
+    # Side of the fixed square canvas used for the batched deskew sweep.
+    deskew_canvas: int = 1024
+    # Use the exact point-in-polygon test against traced contours (reference
+    # semantics) instead of the rasterized-mask fast path.
+    exact_point_in_polygon: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    resize: ResizePolicy = ResizePolicy()
+    tiling: TilingConfig = TilingConfig()
+    morphology: MorphologyConfig = MorphologyConfig()
+    region: RegionConfig = RegionConfig()
+    deskew: DeskewConfig = DeskewConfig()
+    line_split: LineSplitConfig = LineSplitConfig()
+    reading_order: ReadingOrderConfig = ReadingOrderConfig()
+    model_names: ModelNames = ModelNames()
+    pagexml: PageXmlConfig = PageXmlConfig()
+    runtime: RuntimeConfig = RuntimeConfig()
+
+
+DEFAULT_CONFIG = PipelineConfig()

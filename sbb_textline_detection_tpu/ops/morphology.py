@@ -1,0 +1,124 @@
+"""Grayscale morphology with a flat rectangular structuring element.
+
+Replaces the reference's cv2.dilate / cv2.erode / cv2.morphologyEx call
+sites (main.py:397, 463-464, 1478-1479, 1734, 2074-2075 upstream).
+
+cv2 semantics reproduced here:
+  * flat all-ones k×k kernel, anchor at center;
+  * `iterations=n` of a k×k flat SE equals one pass with an
+    ((k-1)·n + 1)-sized SE (exact for flat rectangular SEs);
+  * border handling: dilate pads with -inf (the image border never dilates
+    inward from outside), erode pads with +inf.
+
+Device path uses `lax.reduce_window` (fuses well under XLA); the host path
+is a numpy sliding-window used by the oracle/tests and tiny crops.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _effective_size(kernel_size: int, iterations: int) -> int:
+    return (kernel_size - 1) * iterations + 1
+
+
+# ---------------------------------------------------------------------------
+# Device (JAX)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("kernel_size", "iterations"))
+def dilate(img: jax.Array, kernel_size: int = 5, iterations: int = 1) -> jax.Array:
+    """Max filter over the leading two axes (H, W[, C])."""
+    k = _effective_size(kernel_size, iterations)
+    orig_dtype = img.dtype
+    x = img.astype(jnp.float32)
+    expand = x.ndim == 2
+    if expand:
+        x = x[..., None]
+    pad = k // 2
+    out = jax.lax.reduce_window(
+        x,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(k, k, 1),
+        window_strides=(1, 1, 1),
+        padding=((pad, pad), (pad, pad), (0, 0)),
+    )
+    if expand:
+        out = out[..., 0]
+    return out.astype(orig_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("kernel_size", "iterations"))
+def erode(img: jax.Array, kernel_size: int = 5, iterations: int = 1) -> jax.Array:
+    """Min filter over the leading two axes (H, W[, C])."""
+    k = _effective_size(kernel_size, iterations)
+    orig_dtype = img.dtype
+    x = img.astype(jnp.float32)
+    expand = x.ndim == 2
+    if expand:
+        x = x[..., None]
+    pad = k // 2
+    out = jax.lax.reduce_window(
+        x,
+        jnp.inf,
+        jax.lax.min,
+        window_dimensions=(k, k, 1),
+        window_strides=(1, 1, 1),
+        padding=((pad, pad), (pad, pad), (0, 0)),
+    )
+    if expand:
+        out = out[..., 0]
+    return out.astype(orig_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("kernel_size",))
+def morph_open(img: jax.Array, kernel_size: int = 5) -> jax.Array:
+    return dilate(erode(img, kernel_size), kernel_size)
+
+
+@functools.partial(jax.jit, static_argnames=("kernel_size",))
+def morph_close(img: jax.Array, kernel_size: int = 5) -> jax.Array:
+    return erode(dilate(img, kernel_size), kernel_size)
+
+
+# ---------------------------------------------------------------------------
+# Host (numpy)
+# ---------------------------------------------------------------------------
+
+def _window_reduce_host(img: np.ndarray, k: int, op, pad_value) -> np.ndarray:
+    pad = k // 2
+    if img.ndim == 2:
+        padded = np.pad(img.astype(np.float64), pad, constant_values=pad_value)
+        win = np.lib.stride_tricks.sliding_window_view(padded, (k, k))
+        return op(win, axis=(-2, -1))
+    padded = np.pad(
+        img.astype(np.float64),
+        ((pad, pad), (pad, pad), (0, 0)),
+        constant_values=pad_value,
+    )
+    win = np.lib.stride_tricks.sliding_window_view(padded, (k, k), axis=(0, 1))
+    return op(win, axis=(-2, -1))
+
+
+def dilate_host(img: np.ndarray, kernel_size: int = 5, iterations: int = 1) -> np.ndarray:
+    k = _effective_size(kernel_size, iterations)
+    return _window_reduce_host(img, k, np.max, -np.inf).astype(img.dtype)
+
+
+def erode_host(img: np.ndarray, kernel_size: int = 5, iterations: int = 1) -> np.ndarray:
+    k = _effective_size(kernel_size, iterations)
+    return _window_reduce_host(img, k, np.min, np.inf).astype(img.dtype)
+
+
+def morph_open_host(img: np.ndarray, kernel_size: int = 5) -> np.ndarray:
+    return dilate_host(erode_host(img, kernel_size), kernel_size)
+
+
+def morph_close_host(img: np.ndarray, kernel_size: int = 5) -> np.ndarray:
+    return erode_host(dilate_host(img, kernel_size), kernel_size)

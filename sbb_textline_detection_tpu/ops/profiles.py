@@ -1,0 +1,128 @@
+"""1-D projection-profile ops: Gaussian smoothing and peak finding.
+
+The reference leans on `scipy.ndimage.gaussian_filter1d` and
+`scipy.signal.find_peaks` for every projection-profile heuristic
+(line splitting main.py:548-629, deskew scoring main.py:1573-1578,
+reading order main.py:1811-1825 of the upstream repo).
+
+This module owns both:
+  * exact host (numpy) implementations — the parity oracle, also used on the
+    host-side heuristic path, and
+  * fixed-shape JAX implementations for the device path (batched deskew
+    scoring), where profiles are padded to static lengths and peaks are
+    returned as boolean masks instead of index lists.
+
+The JAX peak finder is strict-local-maximum only; after float Gaussian
+smoothing, plateaus of equal positive values have measure zero, and flat
+zero runs are never peaks, so this matches the host semantics in practice.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Host (numpy) — exact parity with scipy semantics.
+# ---------------------------------------------------------------------------
+
+def gaussian_kernel1d(sigma: float, truncate: float = 4.0) -> np.ndarray:
+    """Normalized Gaussian taps with scipy's radius rule."""
+    sigma = float(sigma)
+    radius = int(truncate * sigma + 0.5)
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    w = np.exp(-0.5 * (x / sigma) ** 2)
+    return w / w.sum()
+
+
+def gaussian_filter1d_host(y: np.ndarray, sigma: float, truncate: float = 4.0) -> np.ndarray:
+    """scipy.ndimage.gaussian_filter1d equivalent (mode='reflect')."""
+    y = np.asarray(y, dtype=np.float64)
+    w = gaussian_kernel1d(sigma, truncate)
+    radius = (len(w) - 1) // 2
+    if radius == 0:
+        return y.copy()
+    # scipy 'reflect' == numpy 'symmetric' (edge value repeated):  d c b a | a b c d
+    ypad = np.pad(y, radius, mode="symmetric")
+    return np.convolve(ypad, w, mode="valid")
+
+
+def local_maxima_host(y: np.ndarray) -> np.ndarray:
+    """Plateau-aware local maxima, midpoint convention — matches
+    scipy.signal._peak_finding_utils._local_maxima_1d exactly.
+    """
+    y = np.asarray(y, dtype=np.float64)
+    n = y.size
+    if n < 3:
+        return np.empty(0, dtype=np.int64)
+    # Run-length encode so plateaus collapse to single candidates.
+    change = np.flatnonzero(np.diff(y) != 0) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [n]))  # exclusive
+    vals = y[starts]
+    if starts.size < 3:
+        return np.empty(0, dtype=np.int64)
+    mid = vals[1:-1]
+    is_peak = (mid > vals[:-2]) & (mid > vals[2:])
+    runs = np.arange(1, starts.size - 1)[is_peak]
+    left = starts[runs]
+    right = ends[runs] - 1
+    return left + (right - left) // 2
+
+
+def find_peaks_host(y: np.ndarray, height: float | None = None) -> np.ndarray:
+    """scipy.signal.find_peaks(y, height=height)[0] equivalent."""
+    peaks = local_maxima_host(y)
+    if height is not None and peaks.size:
+        y = np.asarray(y, dtype=np.float64)
+        peaks = peaks[y[peaks] >= height]
+    return peaks
+
+
+# ---------------------------------------------------------------------------
+# Device (JAX) — fixed shapes, mask-based peaks.
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("sigma", "truncate"))
+def gaussian_filter1d(y: jax.Array, sigma: float, truncate: float = 4.0) -> jax.Array:
+    """Batched Gaussian smoothing along the last axis, reflect boundary.
+
+    Accepts (..., N); returns float32 of the same shape.
+    """
+    w = jnp.asarray(gaussian_kernel1d(sigma, truncate), dtype=jnp.float32)
+    radius = (w.shape[0] - 1) // 2
+    y = y.astype(jnp.float32)
+    if radius == 0:
+        return y
+    lead = y.shape[:-1]
+    n = y.shape[-1]
+    if radius > n:
+        raise ValueError(f"gaussian radius {radius} exceeds profile length {n}")
+    flat = y.reshape((-1, 1, n))
+    # 'symmetric' reflect padding:  d c b a | a b c d | d c b a
+    flipped = jnp.flip(flat, axis=-1)
+    padded = jnp.concatenate(
+        [flipped[..., -radius:], flat, flipped[..., :radius]], axis=-1
+    )
+    out = jax.lax.conv_general_dilated(
+        padded,
+        w.reshape(1, 1, -1),
+        window_strides=(1,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out.reshape(lead + (n,))
+
+
+@jax.jit
+def peak_mask(y: jax.Array) -> jax.Array:
+    """Strict local-maximum mask along the last axis (borders False)."""
+    y = y.astype(jnp.float32)
+    left = jnp.concatenate([y[..., :1] + 1.0, y[..., :-1]], axis=-1)
+    right = jnp.concatenate([y[..., 1:], y[..., -1:] + 1.0], axis=-1)
+    return (y > left) & (y > right)

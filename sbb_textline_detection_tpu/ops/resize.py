@@ -1,0 +1,38 @@
+"""Nearest-neighbor resize with cv2.INTER_NEAREST index semantics.
+
+Replaces cv2.resize(..., interpolation=cv2.INTER_NEAREST) (main.py:112-113
+upstream), used for the global page rescale (main.py:214) and for mapping
+whole-image label maps back to page size (main.py:378).
+
+cv2's INTER_NEAREST picks src index  floor(dst_index * src/dst) , clipped to
+the valid range — note: no +0.5 center offset.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _nearest_indices(dst: int, src: int) -> np.ndarray:
+    scale = src / float(dst)
+    idx = np.floor(np.arange(dst, dtype=np.float64) * scale).astype(np.int64)
+    return np.clip(idx, 0, src - 1)
+
+
+def resize_nearest_host(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """(H, W[, C]) → (out_h, out_w[, C]) uint8/any dtype preserved."""
+    ys = _nearest_indices(out_h, img.shape[0])
+    xs = _nearest_indices(out_w, img.shape[1])
+    return img[np.ix_(ys, xs)] if img.ndim == 2 else img[ys][:, xs]
+
+
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
+def resize_nearest(img: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    ys = jnp.asarray(_nearest_indices(out_h, img.shape[0]))
+    xs = jnp.asarray(_nearest_indices(out_w, img.shape[1]))
+    out = jnp.take(img, ys, axis=0)
+    return jnp.take(out, xs, axis=1)

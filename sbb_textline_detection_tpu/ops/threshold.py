@@ -1,0 +1,84 @@
+"""Otsu thresholding — replaces cv2.threshold(..., THRESH_BINARY+THRESH_OTSU).
+
+Reference call sites: otsu_copy (main.py:178-194 upstream), which computes an
+Otsu threshold per channel but — preserving the upstream behavior exactly —
+writes *channel 0's* thresholded result into all three output channels
+(main.py:191-193).
+
+cv2's getThreshVal_Otsu_8u maximizes the between-class variance over the 256
+histogram bins, keeping the *first* maximizer; THRESH_BINARY maps
+value > threshold → 255, else 0. Both the host and device paths replicate
+this bit-for-bit for uint8 input.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def otsu_threshold_host(img: np.ndarray) -> int:
+    """Otsu threshold of a uint8 array (any shape); cv2-equivalent."""
+    hist = np.bincount(np.asarray(img, dtype=np.uint8).ravel(), minlength=256).astype(np.float64)
+    total = hist.sum()
+    p = hist / total
+    omega = np.cumsum(p)                      # w0(t) for t = 0..255
+    mu_t = np.cumsum(p * np.arange(256))      # first moment up to t
+    mu = mu_t[-1]
+    w0 = omega
+    w1 = 1.0 - omega
+    valid = (w0 > 0) & (w1 > 0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mu0 = mu_t / w0
+        mu1 = (mu - mu_t) / w1
+        sigma_b = w0 * w1 * (mu0 - mu1) ** 2
+    sigma_b = np.where(valid, sigma_b, -1.0)
+    return int(np.argmax(sigma_b))  # first max — matches cv2's strict '>' update
+
+
+def otsu_binarize_host(img: np.ndarray) -> np.ndarray:
+    """THRESH_BINARY+THRESH_OTSU: (img > t) * 255, uint8."""
+    t = otsu_threshold_host(img)
+    return np.where(np.asarray(img) > t, 255, 0).astype(np.uint8)
+
+
+def otsu_copy_host(img: np.ndarray) -> np.ndarray:
+    """Reference `otsu_copy`: all 3 output channels get channel 0's binarization.
+
+    Upstream computes thresholds for all three channels but assigns
+    `threshold1` to every channel (main.py:187-193); we preserve that
+    observable behavior (channel-0 threshold only).
+    """
+    ch0 = otsu_binarize_host(img[..., 0])
+    return np.repeat(ch0[..., None], 3, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Device (JAX)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def otsu_threshold(img: jax.Array) -> jax.Array:
+    """Otsu threshold (int32 scalar) of a uint8 image on device."""
+    flat = img.astype(jnp.int32).ravel()
+    hist = jnp.zeros((256,), jnp.float32).at[flat].add(1.0)
+    p = hist / jnp.sum(hist)
+    omega = jnp.cumsum(p)
+    mu_t = jnp.cumsum(p * jnp.arange(256, dtype=jnp.float32))
+    mu = mu_t[-1]
+    w0 = omega
+    w1 = 1.0 - omega
+    valid = (w0 > 0) & (w1 > 0)
+    mu0 = mu_t / jnp.where(w0 > 0, w0, 1.0)
+    mu1 = (mu - mu_t) / jnp.where(w1 > 0, w1, 1.0)
+    sigma_b = jnp.where(valid, w0 * w1 * (mu0 - mu1) ** 2, -1.0)
+    return jnp.argmax(sigma_b).astype(jnp.int32)
+
+
+@jax.jit
+def otsu_copy(img: jax.Array) -> jax.Array:
+    """Device `otsu_copy` (see host docstring). img: (H, W, 3) uint8."""
+    t = otsu_threshold(img[..., 0])
+    ch0 = jnp.where(img[..., 0].astype(jnp.int32) > t, 255, 0).astype(jnp.uint8)
+    return jnp.repeat(ch0[..., None], 3, axis=-1)
