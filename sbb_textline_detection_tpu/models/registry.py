@@ -1,0 +1,64 @@
+"""Model registry: named specs for the three pipeline roles.
+
+The reference hard-codes three checkpoint filenames (upstream main.py:58-60)
+and reads each model's input geometry and class count from the loaded
+model's last layer (main.py:227-229). Here the same metadata travels inside
+our checkpoint files; this registry holds the defaults used when
+initializing fresh (random/trained-from-scratch) models.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sbb_textline_detection_tpu.models import unet
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelSpec:
+    name: str
+    arch: str                    # 'tpu_unet' | 'resnet50_unet'
+    input_height: int
+    input_width: int
+    n_classes: int
+    widths: Tuple[int, ...] = (64, 128, 256, 512)
+
+    def to_meta(self) -> dict:
+        return dataclasses.asdict(self)
+
+    @staticmethod
+    def from_meta(meta: dict) -> "ModelSpec":
+        meta = dict(meta)
+        meta["widths"] = tuple(meta.get("widths", (64, 128, 256, 512)))
+        return ModelSpec(**meta)
+
+
+# Pipeline role defaults. Geometry mirrors the reference models' 448x448
+# patch size; class counts: page = {background, printspace}, region =
+# {background, text, other}, textline = {background, textline}.
+DEFAULT_SPECS = {
+    "page": ModelSpec("model_page_mixed_best", "tpu_unet", 448, 448, 2),
+    "region": ModelSpec("model_strukturerkennung", "tpu_unet", 448, 448, 3),
+    "textline": ModelSpec("model_textline_new", "tpu_unet", 448, 448, 2),
+}
+
+
+def build_module(spec: ModelSpec):
+    if spec.arch == "tpu_unet":
+        return unet.TpuUnet(n_classes=spec.n_classes, widths=spec.widths)
+    if spec.arch == "resnet50_unet":
+        return unet.ResNet50Unet(n_classes=spec.n_classes)
+    raise ValueError(f"unknown architecture {spec.arch!r}")
+
+
+def init_variables(spec: ModelSpec, seed: int = 0):
+    module = build_module(spec)
+    dummy = jnp.zeros((1, spec.input_height, spec.input_width, 3), jnp.float32)
+    # jit the init: one compile, and XLA dead-code-eliminates the forward
+    # math (param init depends only on shapes) — eager init would compile
+    # every conv op separately.
+    return jax.jit(module.init)(jax.random.PRNGKey(seed), dummy)

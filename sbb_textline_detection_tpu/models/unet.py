@@ -1,0 +1,192 @@
+"""Segmentation model family (Flax).
+
+The reference consumes three Keras/TF1 pixelwise-segmentation CNNs
+(upstream main.py:58-60, loaded at main.py:216-223; trained in the sibling
+sbb_pixelwise_segmentation repo). We provide:
+
+  * `TpuUnet` — the flagship TPU-first architecture: NHWC, bf16 compute on
+    the MXU, GroupNorm (batch-size independent), stride-2 downsampling,
+    nearest-upsample + skip-concat decoder. This is the model trained and
+    served by this framework.
+  * `ResNet50Unet` — a Keras-topology ResNet50-encoder U-Net with BatchNorm
+    running statistics, provided as the import target for upstream `.h5`
+    checkpoints (see models/h5_import.py).
+
+Both take float32 NHWC images in [0, 1] and return per-pixel class logits
+(N, H, W, n_classes); the pipeline argmaxes on device, so the reference's
+trailing softmax (monotonic) is omitted.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class ConvGN(nn.Module):
+    """3x3 conv + GroupNorm + GELU; norm runs in fp32 for stability."""
+
+    features: int
+    dtype: Any = jnp.bfloat16
+    kernel: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.features, self.kernel, strides=self.strides,
+                    padding="SAME", use_bias=False, dtype=self.dtype)(x)
+        x = nn.GroupNorm(num_groups=min(32, self.features),
+                         dtype=jnp.float32)(x)
+        return nn.gelu(x).astype(self.dtype)
+
+
+class TpuUnet(nn.Module):
+    """TPU-first U-Net.
+
+    Channel widths are multiples of 64 so activations tile the 8x128 VPU and
+    the conv GEMMs tile the 128x128 MXU; all downsampling is stride-2 convs
+    (fused into the GEMM, no pooling windows); upsampling is nearest resize
+    (cheap gather XLA fuses with the following conv).
+    """
+
+    n_classes: int
+    widths: Sequence[int] = (64, 128, 256, 512)
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = x.astype(self.dtype)
+        skips = []
+        for i, w in enumerate(self.widths):
+            x = ConvGN(w, self.dtype)(x)
+            x = ConvGN(w, self.dtype)(x)
+            skips.append(x)
+            x = ConvGN(w, self.dtype, strides=(2, 2))(x)
+        x = ConvGN(self.widths[-1] * 2, self.dtype)(x)
+        x = ConvGN(self.widths[-1] * 2, self.dtype)(x)
+        for w, skip in zip(reversed(self.widths), reversed(skips)):
+            n, h, ww, c = x.shape
+            x = jax.image.resize(x, (n, h * 2, ww * 2, c), method="nearest")
+            x = ConvGN(w, self.dtype)(x)
+            x = jnp.concatenate([x, skip], axis=-1)
+            x = ConvGN(w, self.dtype)(x)
+            x = ConvGN(w, self.dtype)(x)
+        logits = nn.Conv(self.n_classes, (1, 1), dtype=jnp.float32,
+                         name="head")(x.astype(jnp.float32))
+        return logits
+
+
+# ---------------------------------------------------------------------------
+# Keras-topology ResNet50-UNet (import target for upstream .h5 checkpoints)
+# ---------------------------------------------------------------------------
+
+class _BN(nn.Module):
+    """Keras-style BatchNorm in inference mode (running stats)."""
+
+    name_hint: str = ""
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.BatchNorm(use_running_average=True, epsilon=1.001e-5,
+                            momentum=0.99, dtype=jnp.float32)(x)
+
+
+class _ResConvBlock(nn.Module):
+    """Keras resnet50 conv_block: 1x1/s -> 3x3 -> 1x1 with projection shortcut."""
+
+    filters: Tuple[int, int, int]
+    strides: Tuple[int, int] = (2, 2)
+
+    @nn.compact
+    def __call__(self, x):
+        f1, f2, f3 = self.filters
+        sc = nn.Conv(f3, (1, 1), strides=self.strides, name="shortcut_conv")(x)
+        sc = _BN(name="shortcut_bn")(sc)
+        y = nn.Conv(f1, (1, 1), strides=self.strides, name="conv_a")(x)
+        y = _BN(name="bn_a")(y)
+        y = nn.relu(y)
+        y = nn.Conv(f2, (3, 3), padding="SAME", name="conv_b")(y)
+        y = _BN(name="bn_b")(y)
+        y = nn.relu(y)
+        y = nn.Conv(f3, (1, 1), name="conv_c")(y)
+        y = _BN(name="bn_c")(y)
+        return nn.relu(y + sc)
+
+
+class _ResIdentityBlock(nn.Module):
+    filters: Tuple[int, int, int]
+
+    @nn.compact
+    def __call__(self, x):
+        f1, f2, f3 = self.filters
+        y = nn.Conv(f1, (1, 1), name="conv_a")(x)
+        y = _BN(name="bn_a")(y)
+        y = nn.relu(y)
+        y = nn.Conv(f2, (3, 3), padding="SAME", name="conv_b")(y)
+        y = _BN(name="bn_b")(y)
+        y = nn.relu(y)
+        y = nn.Conv(f3, (1, 1), name="conv_c")(y)
+        y = _BN(name="bn_c")(y)
+        return nn.relu(y + x)
+
+
+class ResNet50Unet(nn.Module):
+    """ResNet50-encoder U-Net mirroring the Keras topology used by
+    sbb_pixelwise_segmentation (stage features f1..f5; decoder =
+    [conv-bn -> 2x nearest upsample -> skip concat] x4 -> class conv)."""
+
+    n_classes: int
+
+    @nn.compact
+    def __call__(self, x):
+        # --- encoder ---
+        x = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding="VALID", name="conv1")(x)
+        x = _BN(name="bn_conv1")(x)
+        f1 = nn.relu(x)
+        x = nn.max_pool(f1, (3, 3), strides=(2, 2), padding="SAME")
+        x = _ResConvBlock((64, 64, 256), strides=(1, 1), name="res2a")(x)
+        x = _ResIdentityBlock((64, 64, 256), name="res2b")(x)
+        f2 = _ResIdentityBlock((64, 64, 256), name="res2c")(x)
+        x = _ResConvBlock((128, 128, 512), name="res3a")(f2)
+        x = _ResIdentityBlock((128, 128, 512), name="res3b")(x)
+        x = _ResIdentityBlock((128, 128, 512), name="res3c")(x)
+        f3 = _ResIdentityBlock((128, 128, 512), name="res3d")(x)
+        x = _ResConvBlock((256, 256, 1024), name="res4a")(f3)
+        for blk in "bcdef":
+            x = _ResIdentityBlock((256, 256, 1024), name=f"res4{blk}")(x)
+        f4 = x
+        x = _ResConvBlock((512, 512, 2048), name="res5a")(f4)
+        x = _ResIdentityBlock((512, 512, 2048), name="res5b")(x)
+        f5 = _ResIdentityBlock((512, 512, 2048), name="res5c")(x)
+
+        # --- decoder ---
+        def up2(t):
+            n, h, w, c = t.shape
+            return jax.image.resize(t, (n, h * 2, w * 2, c), method="nearest")
+
+        o = nn.Conv(512, (3, 3), padding="SAME", name="dec_conv5")(f5)
+        o = _BN(name="dec_bn5")(o)
+        o = nn.relu(o)
+        o = jnp.concatenate([up2(o), f4], axis=-1)
+        o = nn.Conv(256, (3, 3), padding="SAME", name="dec_conv4")(o)
+        o = _BN(name="dec_bn4")(o)
+        o = nn.relu(o)
+        o = jnp.concatenate([up2(o), f3], axis=-1)
+        o = nn.Conv(128, (3, 3), padding="SAME", name="dec_conv3")(o)
+        o = _BN(name="dec_bn3")(o)
+        o = nn.relu(o)
+        o = jnp.concatenate([up2(o), f2], axis=-1)
+        o = nn.Conv(64, (3, 3), padding="SAME", name="dec_conv2")(o)
+        o = _BN(name="dec_bn2")(o)
+        o = nn.relu(o)
+        o = jnp.concatenate([up2(o), f1], axis=-1)
+        o = nn.Conv(64, (3, 3), padding="SAME", name="dec_conv1")(o)
+        o = _BN(name="dec_bn1")(o)
+        o = nn.relu(o)
+        o = up2(o)
+        logits = nn.Conv(self.n_classes, (3, 3), padding="SAME", name="head")(o)
+        return logits

@@ -31,50 +31,40 @@ def _effective_size(kernel_size: int, iterations: int) -> int:
 # Device (JAX)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("kernel_size", "iterations"))
-def dilate(img: jax.Array, kernel_size: int = 5, iterations: int = 1) -> jax.Array:
-    """Max filter over the leading two axes (H, W[, C])."""
-    k = _effective_size(kernel_size, iterations)
+def _window_reduce(img, k, op, init):
+    """Separable rectangular window reduce: two 1-D passes (k+k work per
+    pixel instead of k*k — a flat rectangular SE is separable)."""
     orig_dtype = img.dtype
     x = img.astype(jnp.float32)
     expand = x.ndim == 2
     if expand:
         x = x[..., None]
     pad = k // 2
-    out = jax.lax.reduce_window(
-        x,
-        -jnp.inf,
-        jax.lax.max,
-        window_dimensions=(k, k, 1),
-        window_strides=(1, 1, 1),
-        padding=((pad, pad), (pad, pad), (0, 0)),
-    )
+    x = jax.lax.reduce_window(
+        x, init, op,
+        window_dimensions=(k, 1, 1), window_strides=(1, 1, 1),
+        padding=((pad, pad), (0, 0), (0, 0)))
+    x = jax.lax.reduce_window(
+        x, init, op,
+        window_dimensions=(1, k, 1), window_strides=(1, 1, 1),
+        padding=((0, 0), (pad, pad), (0, 0)))
     if expand:
-        out = out[..., 0]
-    return out.astype(orig_dtype)
+        x = x[..., 0]
+    return x.astype(orig_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("kernel_size", "iterations"))
+def dilate(img: jax.Array, kernel_size: int = 5, iterations: int = 1) -> jax.Array:
+    """Max filter over the leading two axes (H, W[, C])."""
+    k = _effective_size(kernel_size, iterations)
+    return _window_reduce(img, k, jax.lax.max, -jnp.inf)
 
 
 @functools.partial(jax.jit, static_argnames=("kernel_size", "iterations"))
 def erode(img: jax.Array, kernel_size: int = 5, iterations: int = 1) -> jax.Array:
     """Min filter over the leading two axes (H, W[, C])."""
     k = _effective_size(kernel_size, iterations)
-    orig_dtype = img.dtype
-    x = img.astype(jnp.float32)
-    expand = x.ndim == 2
-    if expand:
-        x = x[..., None]
-    pad = k // 2
-    out = jax.lax.reduce_window(
-        x,
-        jnp.inf,
-        jax.lax.min,
-        window_dimensions=(k, k, 1),
-        window_strides=(1, 1, 1),
-        padding=((pad, pad), (pad, pad), (0, 0)),
-    )
-    if expand:
-        out = out[..., 0]
-    return out.astype(orig_dtype)
+    return _window_reduce(img, k, jax.lax.min, jnp.inf)
 
 
 @functools.partial(jax.jit, static_argnames=("kernel_size",))
@@ -92,18 +82,21 @@ def morph_close(img: jax.Array, kernel_size: int = 5) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 def _window_reduce_host(img: np.ndarray, k: int, op, pad_value) -> np.ndarray:
+    """Separable two-pass host window reduce (flat rectangular SE)."""
     pad = k // 2
-    if img.ndim == 2:
-        padded = np.pad(img.astype(np.float64), pad, constant_values=pad_value)
-        win = np.lib.stride_tricks.sliding_window_view(padded, (k, k))
-        return op(win, axis=(-2, -1))
-    padded = np.pad(
-        img.astype(np.float64),
-        ((pad, pad), (pad, pad), (0, 0)),
-        constant_values=pad_value,
-    )
-    win = np.lib.stride_tricks.sliding_window_view(padded, (k, k), axis=(0, 1))
-    return op(win, axis=(-2, -1))
+    x = img.astype(np.float64)
+    expand = x.ndim == 2
+    if expand:
+        x = x[..., None]
+    padded = np.pad(x, ((pad, pad), (0, 0), (0, 0)), constant_values=pad_value)
+    win = np.lib.stride_tricks.sliding_window_view(padded, k, axis=0)
+    x = op(win, axis=-1)
+    padded = np.pad(x, ((0, 0), (pad, pad), (0, 0)), constant_values=pad_value)
+    win = np.lib.stride_tricks.sliding_window_view(padded, k, axis=1)
+    x = op(win, axis=-1)
+    if expand:
+        x = x[..., 0]
+    return x
 
 
 def dilate_host(img: np.ndarray, kernel_size: int = 5, iterations: int = 1) -> np.ndarray:

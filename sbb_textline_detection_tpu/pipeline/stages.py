@@ -1,0 +1,187 @@
+"""Pipeline stages as pure functions over numpy/JAX arrays.
+
+Stage-by-stage TPU-native equivalents of `textline_detector.run`'s cascade
+(upstream main.py:2056-2157). Degrade-don't-crash semantics are handled one
+level up in the detector; stages themselves raise freely like the upstream
+stage bodies do.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from sbb_textline_detection_tpu.core.config import PipelineConfig
+from sbb_textline_detection_tpu.models.runner import ModelBundle
+from sbb_textline_detection_tpu.ops import contours as contour_ops
+from sbb_textline_detection_tpu.ops import morphology
+from sbb_textline_detection_tpu.ops import resize as resize_ops
+from sbb_textline_detection_tpu.ops import rotate as rotate_ops
+from sbb_textline_detection_tpu.ops import threshold
+from sbb_textline_detection_tpu.pipeline import lines as lines_mod
+from sbb_textline_detection_tpu.pipeline.deskew import DeskewEngine
+
+
+@dataclasses.dataclass
+class ScaledImage:
+    image: np.ndarray          # resized working image (H, W, 3) uint8
+    height_org: int
+    width_org: int
+    scale_x: float
+    scale_y: float
+
+
+def scale_image(image: np.ndarray, cfg: PipelineConfig) -> ScaledImage:
+    """Global resize policy (main.py:196-214): pages under 2500 px high are
+    scaled to 2800 px high; taller pages are scaled by 1.2."""
+    h, w = image.shape[:2]
+    rp = cfg.resize
+    if h < rp.small_page_height_threshold:
+        target_h = rp.small_page_target_height
+    else:
+        target_h = int(h * rp.large_page_scale)
+    target_w = int(target_h * w / float(h))
+    scaled = resize_ops.resize_nearest_host(image, target_h, target_w)
+    return ScaledImage(scaled, h, w, target_w / float(w), target_h / float(h))
+
+
+def extract_page(scaled: ScaledImage, models: ModelBundle,
+                 cfg: PipelineConfig) -> Tuple[np.ndarray, List[int], np.ndarray]:
+    """Border/printspace detection (main.py:384-437): whole-image page model,
+    threshold, dilate x6, largest exterior contour's bbox, crop. Fallback on
+    any failure: the whole image."""
+    img = scaled.image
+    h, w = img.shape[:2]
+    try:
+        labels = models.page.predict_whole(img)
+        mask = (labels != 0).astype(np.uint8) * 255
+        mask = np.asarray(morphology.dilate(
+            mask, cfg.morphology.kernel_size,
+            cfg.morphology.page_dilate_iterations))
+        conts = contour_ops.find_contours(mask)
+        areas = [contour_ops.polygon_area(c) for c in conts]
+        best = conts[int(np.argmax(areas))]
+        x, y, bw, bh = contour_ops.bounding_rect(best)
+        box = [x, y, bw, bh]
+    except Exception:
+        box = [0, 0, w - 1, h - 1]
+    cropped = img[box[1]:box[1] + box[3], box[0]:box[0] + box[2]]
+    page_coord = [box[1], box[1] + box[3], box[0], box[0] + box[2]]
+    cont_page = np.array([[page_coord[2], page_coord[0]],
+                          [page_coord[3], page_coord[0]],
+                          [page_coord[3], page_coord[1]],
+                          [page_coord[2], page_coord[1]]])
+    return cropped, page_coord, cont_page
+
+
+def extract_text_regions(image_page: np.ndarray, models: ModelBundle,
+                         cfg: PipelineConfig) -> np.ndarray:
+    """Region segmentation (main.py:439-454): channel-0 Otsu copy, patch-mode
+    region model, then erode x3 / dilate x4 on the label map (main.py:2074-75).
+    Returns the morphed (H, W) label map."""
+    binarized = threshold.otsu_copy_host(image_page.astype(np.uint8))
+    labels = models.region.predict_tiled(binarized.astype(np.uint8),
+                                         cfg.tiling.margin_ratio)
+    k = cfg.morphology.kernel_size
+    labels = np.asarray(morphology.erode(
+        labels, k, cfg.morphology.region_erode_iterations))
+    labels = np.asarray(morphology.dilate(
+        labels, k, cfg.morphology.region_dilate_iterations))
+    return labels
+
+
+def region_contours_and_boxes(region_labels: np.ndarray, cfg: PipelineConfig
+                              ) -> Tuple[List[np.ndarray], List[List[int]]]:
+    """Text-region contours (main.py:456-481): mask of the text class, morph
+    open+close, exterior contours, relative-area filter, bounding boxes."""
+    mask = (region_labels == cfg.region.text_class_value).astype(np.uint8) * 255
+    k = cfg.morphology.kernel_size
+    mask = np.asarray(morphology.morph_open(mask, k))
+    mask = np.asarray(morphology.morph_close(mask, k))
+    conts = contour_ops.find_contours(mask)
+    img_area = float(np.prod(mask.shape[:2]))
+    main_contours = []
+    for c in conts:
+        if len(c) < 3:
+            continue
+        area = contour_ops.polygon_area(c)
+        if cfg.region.min_area_ratio * img_area <= area <= cfg.region.max_area_ratio * img_area:
+            main_contours.append(c)
+    boxes = [list(contour_ops.bounding_rect(c)) for c in main_contours]
+    return main_contours, boxes
+
+
+def textline_mask_total(image_page: np.ndarray, models: ModelBundle,
+                        cfg: PipelineConfig) -> np.ndarray:
+    """Textline segmentation (main.py:490-503): patch-mode textline model;
+    returns the raw (H, W) label map (the reference keeps channel 0 of the
+    label image — same values)."""
+    return models.textline.predict_tiled(image_page.astype(np.uint8),
+                                         cfg.tiling.margin_ratio)
+
+
+def textline_postprocess(crop_labels: np.ndarray, slope: float,
+                         contour: np.ndarray, box: List[int],
+                         cfg: PipelineConfig) -> List[np.ndarray]:
+    """Per-region line extraction (main.py:1472-1524): morph open+close the
+    textline crop, rotate by the slope, rasterize+rotate the region contour,
+    split into per-line quads. Any failure -> no lines (main.py:1520-1522)."""
+    try:
+        k = cfg.morphology.kernel_size
+        mask = (crop_labels.astype(np.uint8) * np.uint8(255))  # uint8 wrap, as upstream
+        mask = morphology.morph_open_host(mask, k)
+        mask = morphology.morph_close_host(mask, k)
+
+        rot = rotate_ops.rotate_image_host(mask.astype(np.float64), slope, order=3)
+        dst = (np.abs(rot) > 1e-3).astype(np.uint8)
+
+        shifted = np.asarray(contour, dtype=np.int64).copy()
+        shifted[:, 0] -= box[0]
+        shifted[:, 1] -= box[1]
+        raster = contour_ops.fill_polygon(shifted, box[3], box[2]) * 255
+        raster_rot = rotate_ops.rotate_image_host(raster.astype(np.float64),
+                                                  slope, order=3)
+        raster_rot = (np.abs(raster_rot) > 1e-3).astype(np.uint8)
+        conts = contour_ops.find_contours(raster_rot)
+        big = conts[int(np.argmax([len(c) for c in conts]))]
+
+        vertical = abs(slope) > cfg.deskew.vertical_line_split_abs
+        _, boxes_rot = lines_mod.separate_lines(
+            dst, big, slope, cfg.line_split, vertical=vertical)
+        return boxes_rot
+    except Exception:
+        return []
+
+
+def slopes_and_lines(contours: List[np.ndarray], boxes: List[List[int]],
+                     textline_mask: np.ndarray, models_cfg: PipelineConfig,
+                     engine: Optional[DeskewEngine] = None
+                     ) -> Tuple[List[float], List[List[np.ndarray]]]:
+    """Reference get_slopes_and_deskew + do_work_of_slopes
+    (main.py:1721-1799), without the multiprocessing fan-out: the angle
+    sweep runs on device (DeskewEngine), so host processes have nothing to
+    parallelize. Region order is preserved (the reference's reassembly order
+    is nondeterministic; input order is one valid instance)."""
+    cfg = models_cfg
+    engine = engine or DeskewEngine(cfg.deskew)
+    slopes: List[float] = []
+    all_lines: List[List[np.ndarray]] = []
+    for contour, box in zip(contours, boxes):
+        x, y, w, h = box
+        crop = textline_mask[y:y + h, x:x + w]
+        crop = morphology.erode_host(
+            crop, cfg.morphology.kernel_size,
+            cfg.morphology.deskew_crop_erode_iterations)
+        try:
+            slope = engine.best_angle(crop)
+        except Exception:
+            slope = cfg.deskew.slope_sentinel
+        if abs(slope) > cfg.deskew.slope_reject_abs and slope != cfg.deskew.slope_sentinel:
+            slope = 0.0
+        elif slope == cfg.deskew.slope_sentinel:
+            slope = 0.0
+        slopes.append(slope)
+        all_lines.append(textline_postprocess(crop, slope, contour, box, cfg))
+    return slopes, all_lines

@@ -1,0 +1,104 @@
+"""Deskew engine tests: angle recovery and parity with a rotate-and-score
+numpy oracle transcribed from the reference formulas."""
+
+import numpy as np
+import pytest
+
+from sbb_textline_detection_tpu.core.config import DeskewConfig
+from sbb_textline_detection_tpu.ops import profiles, rotate
+from sbb_textline_detection_tpu.pipeline import deskew
+
+
+def _text_mask(h=220, w=300, n_lines=6, line_h=8):
+    img = np.zeros((h, w), np.uint8)
+    gap = h // (n_lines + 1)
+    for i in range(1, n_lines + 1):
+        img[i * gap:i * gap + line_h, 20:w - 20] = 1
+    return img
+
+
+def _oracle_score(img_rotated, sigma, multiplier=20.3):
+    """Reference get_standard_deviation_of_summed_textline_patch_along_width
+    (main.py:1545-1599), transcribed."""
+    y = img_rotated.sum(axis=1).astype(np.float64)
+    y_help = np.zeros(len(y) + 20)
+    y_help[10:len(y) + 10] = y
+    zneg_rev = -y_help + np.max(y_help)
+    zneg = np.zeros(len(zneg_rev) + 20)
+    zneg[10:len(zneg_rev) + 10] = zneg_rev
+    z = profiles.gaussian_filter1d_host(y, sigma)
+    zneg = profiles.gaussian_filter1d_host(zneg, sigma)
+    peaks_neg = profiles.find_peaks_host(zneg, height=0) - 20
+    peaks = profiles.find_peaks_host(z, height=0)
+    interest_pos = z[peaks]
+    interest_pos = interest_pos[interest_pos > 10]
+    interest_neg = z[peaks_neg]  # numpy wrap on negatives; IndexError on >= len
+    min_peaks_pos = np.mean(interest_pos)
+    grenze = min_peaks_pos - (min_peaks_pos - 0) / multiplier
+    interest_neg_fin = interest_neg[interest_neg < grenze]
+    return interest_neg_fin, np.std(z)
+
+
+def _oracle_best_angle(crop, angles, sigma=2.0):
+    """Reference return_deskew_slope inner loop (main.py:1620-1665) using a
+    real rotation per angle."""
+    max_xy = max(crop.shape)
+    S = int(max_xy * 1.4)
+    canvas = np.zeros((S, S))
+    cp = S // 2
+    y0 = cp - crop.shape[0] // 2
+    x0 = cp - crop.shape[1] // 2
+    canvas[y0:y0 + crop.shape[0], x0:x0 + crop.shape[1]] = crop
+    var_res = []
+    kept = []
+    for rot in angles:
+        img_rot = rotate.rotate_image_host(canvas, rot, order=3)
+        img_rot = (np.abs(img_rot) > 1e-3).astype(np.float64)
+        try:
+            negs, var = _oracle_score(img_rot, sigma)
+            res_me = np.mean(negs)
+        except Exception:
+            res_me, var = 1e21, 0.0
+        if res_me != res_me:  # NaN -> excluded
+            continue
+        var_res.append(var)
+        kept.append(rot)
+    if not var_res:
+        return 0.0
+    return angles[int(np.argmax(var_res))]
+
+
+@pytest.mark.parametrize("true_angle", [0.0, 6.0, -11.0])
+def test_engine_recovers_known_rotation(true_angle):
+    mask = _text_mask()
+    rot = rotate.rotate_image_host(mask.astype(np.float64), true_angle, order=3)
+    crop = (np.abs(rot) > 1e-3).astype(np.uint8)
+    engine = deskew.DeskewEngine(DeskewConfig())
+    ang = engine.best_angle(crop)
+    # engine angle undoes the applied rotation; sweep step is 50/79 ~ 0.633 deg
+    assert abs(ang + true_angle) < 1.5
+
+
+def test_engine_matches_rotation_oracle_argmax():
+    mask = _text_mask()
+    rot = rotate.rotate_image_host(mask.astype(np.float64), 8.0, order=3)
+    crop = (np.abs(rot) > 1e-3).astype(np.uint8)
+    angles = np.linspace(-25, 25, 80)
+    oracle_ang = _oracle_best_angle(crop, angles)
+    engine = deskew.DeskewEngine(DeskewConfig())
+    ang = engine.best_angle(crop)
+    assert abs(ang - oracle_ang) < 1.5
+
+
+def test_empty_crop_returns_zero():
+    engine = deskew.DeskewEngine(DeskewConfig())
+    assert engine.best_angle(np.zeros((50, 80), np.uint8)) == 0.0
+
+
+def test_vertical_text_triggers_second_sweep():
+    mask = _text_mask(h=300, w=220, n_lines=6, line_h=8)
+    # vertical text = horizontal lines rotated by 90 degrees
+    vert = mask.T.copy()
+    engine = deskew.DeskewEngine(DeskewConfig())
+    ang = engine.best_angle(vert)
+    assert abs(ang) >= 50.0 or ang == 0.0

@@ -1,0 +1,160 @@
+"""End-to-end pipeline tests with deterministic fake segmentation models.
+
+The fake models implement the SegmentationModel duck-type (predict_whole /
+predict_tiled) with pixel rules, so the full heuristic cascade — border,
+regions, textlines, deskew, line split, reading order, PAGE-XML — runs on a
+synthetic page with known ground truth, without model weights or a TPU.
+"""
+
+import dataclasses
+import xml.etree.ElementTree as ET
+
+import numpy as np
+import pytest
+
+from sbb_textline_detection_tpu.core.config import (
+    DEFAULT_CONFIG, DeskewConfig, ResizePolicy, RuntimeConfig)
+from sbb_textline_detection_tpu.models.runner import ModelBundle
+from sbb_textline_detection_tpu.pipeline.detector import TextlineDetector
+
+
+class FakePageModel:
+    def predict_whole(self, img):
+        return np.ones(img.shape[:2], np.uint8)
+
+
+class FakeRegionModel:
+    """Text class (1) on solid paragraph blocks: the real region model
+    predicts block-level masks (which survive the region stage's erode x3),
+    so close the dark strokes into blocks with a generous window."""
+
+    def predict_tiled(self, img, margin_ratio=0.1):
+        from sbb_textline_detection_tpu.ops import morphology
+        dark = (img[:, :, 0] < 128).astype(np.uint8)
+        return morphology.morph_close_host(dark, 41).astype(np.uint8)
+
+
+class FakeTextlineModel:
+    def predict_tiled(self, img, margin_ratio=0.1):
+        return (img[:, :, 0] < 128).astype(np.uint8)
+
+
+def _synthetic_page(h=700, w=500):
+    """White page, two paragraphs of dark 'text lines', upper and lower.
+
+    Line height ~20 px at page scale (~24 px after the 1.2x working resize)
+    mirrors real 300-DPI pages at the reference's 2800 px working height —
+    thick enough to survive the deskew-crop erode x2 and the line-split
+    morph open."""
+    img = np.full((h, w, 3), 255, np.uint8)
+
+    def paragraph(y0, n_lines, line_h=20, gap=45):
+        for i in range(n_lines):
+            y = y0 + i * gap
+            img[y:y + line_h, 60:w - 60] = 20
+
+    paragraph(60, 5)
+    paragraph(400, 4)
+    return img
+
+
+@pytest.fixture(scope="module")
+def detector():
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG,
+        resize=ResizePolicy(small_page_height_threshold=100,
+                            small_page_target_height=840,
+                            large_page_scale=1.2),
+        # keep the CPU test cheap: small deskew canvas, coarse angle grid
+        deskew=DeskewConfig(coarse_steps=20, vertical_steps=10),
+        runtime=RuntimeConfig(deskew_canvas=256),
+    )
+    models = ModelBundle(FakePageModel(), FakeRegionModel(), FakeTextlineModel())
+    return TextlineDetector(models, cfg)
+
+
+@pytest.fixture(scope="module")
+def result(detector):
+    return detector.process_image(_synthetic_page(), "synthetic.png")
+
+
+def test_finds_two_regions(result):
+    assert len(result.contours) == 2
+
+
+def test_slopes_near_zero(result):
+    for s in result.slopes:
+        assert abs(s) < 3.0
+
+
+def test_line_counts(result):
+    counts = sorted(len(lines) for lines in result.textlines)
+    # 5-line and 4-line paragraphs; the separator may merge/split by one
+    assert counts[0] in (3, 4, 5)
+    assert counts[1] in (4, 5, 6)
+
+
+def test_xml_structure(result, tmp_path):
+    path = result.write(str(tmp_path), "page0")
+    tree = ET.parse(path)
+    root = tree.getroot()
+    assert root.tag == "PcGts"
+    assert root.get("xmlns") == DEFAULT_CONFIG.pagexml.schema
+    page = root.find("Page")
+    assert page.get("imageHeight") == "700"
+    assert page.get("imageWidth") == "500"
+    border = page.find("Border/Coords")
+    assert border is not None and border.get("points")
+    group = page.find("ReadingOrder/OrderedGroup")
+    assert group.get("id") == DEFAULT_CONFIG.pagexml.reading_order_group_id
+    refs = group.findall("RegionRefIndexed")
+    assert len(refs) == 2
+    regions = page.findall("TextRegion")
+    assert len(regions) == 2
+    assert regions[0].get("id") == "r0"
+    assert regions[0].get("type") == "paragraph"
+    line_ids = [l.get("id") for r in regions for l in r.findall("TextLine")]
+    assert line_ids == [f"l{i}" for i in range(len(line_ids))]
+    # all coords parse and lie inside the original image bounds
+    for r in regions:
+        for coords in r.iter("Coords"):
+            pts = [tuple(map(int, p.split(",")))
+                   for p in coords.get("points").split()]
+            for x, y in pts:
+                assert 0 <= x <= 500
+                assert 0 <= y <= 700
+
+
+def test_reading_order_top_region_first(result, tmp_path):
+    path = result.write(str(tmp_path), "page1")
+    page = ET.parse(path).getroot().find("Page")
+    regions = page.findall("TextRegion")
+    # find region centroids in output space
+    cys = []
+    for r in regions:
+        pts = [tuple(map(int, p.split(",")))
+               for p in r.find("Coords").get("points").split()]
+        cys.append(np.mean([p[1] for p in pts]))
+    group = page.find("ReadingOrder/OrderedGroup")
+    index_by_ref = {ref.get("regionRef"): int(ref.get("index"))
+                    for ref in group.findall("RegionRefIndexed")}
+    top_region = regions[int(np.argmin(cys))].get("id")
+    assert index_by_ref[top_region] == 0
+
+
+def test_never_crashes_on_garbage(detector, tmp_path):
+    rng = np.random.default_rng(0)
+    noise = rng.integers(0, 255, (300, 200, 3)).astype(np.uint8)
+    res = detector.process_image(noise, "noise.png")
+    path = res.write(str(tmp_path), "noise")
+    root = ET.parse(path).getroot()
+    assert root.tag == "PcGts"
+
+
+def test_blank_page_valid_xml(detector, tmp_path):
+    blank = np.full((400, 300, 3), 255, np.uint8)
+    res = detector.process_image(blank, "blank.png")
+    path = res.write(str(tmp_path), "blank")
+    root = ET.parse(path).getroot()
+    assert root.tag == "PcGts"
+    assert root.find("Page/Border/Coords") is not None

@@ -1,0 +1,84 @@
+"""Tests for the projection-profile line separator."""
+
+import numpy as np
+import pytest
+
+from sbb_textline_detection_tpu.core.config import LineSplitConfig
+from sbb_textline_detection_tpu.pipeline import lines
+
+
+def _striped_patch(h=400, w=600, n_lines=5, line_h=20):
+    """Binary patch with n_lines horizontal stripes and the surrounding
+    rectangle contour."""
+    img = np.zeros((h, w), np.uint8)
+    gap = h // (n_lines + 1)
+    for i in range(1, n_lines + 1):
+        y = i * gap
+        img[y:y + line_h, 40:w - 40] = 1
+    contour = np.array([[5, 5], [w - 5, 5], [w - 5, h - 5], [5, h - 5]])
+    return img, contour
+
+
+def test_separate_lines_counts_and_order():
+    img, contour = _striped_patch(n_lines=5)
+    peaks, boxes = lines.separate_lines(img, contour, 0.0)
+    assert len(boxes) == 5
+    tops = [b[:, 1].min() for b in boxes]
+    assert tops == sorted(tops)          # emitted top-to-bottom
+    for b in boxes:
+        assert b.shape == (4, 2)
+        assert b[:, 0].min() >= 0 and b[:, 1].min() >= 0
+
+
+def test_separate_lines_x_extent_follows_contour():
+    img, _ = _striped_patch(n_lines=4)
+    # narrow contour: only the middle third of the patch
+    w = img.shape[1]
+    contour = np.array([[w // 3, 5], [2 * w // 3, 5],
+                        [2 * w // 3, 390], [w // 3, 390]])
+    _, boxes = lines.separate_lines(img, contour, 0.0)
+    assert len(boxes) == 4
+    for b in boxes:
+        assert b[:, 0].max() <= 2 * w // 3 + 2
+        assert b[:, 0].min() >= w // 3 - 2
+
+
+def test_separate_lines_empty_patch_yields_nothing_or_raises():
+    img = np.zeros((100, 100), np.uint8)
+    contour = np.array([[0, 0], [99, 0], [99, 99], [0, 99]])
+    try:
+        _, boxes = lines.separate_lines(img, contour, 0.0)
+        assert boxes == [] or len(boxes) <= 1
+    except Exception:
+        pass  # upstream maps exceptions to "no lines"
+
+
+def test_vertical_single_peak_raises_like_reference():
+    # One fat stripe -> single positive peak; the vertical variant's
+    # single-peak branch is unbound upstream (main.py:1298-1301).
+    img = np.zeros((200, 200), np.uint8)
+    img[:, 90:110] = 1
+    contour = np.array([[0, 0], [199, 0], [199, 199], [0, 199]])
+    sigma_big = LineSplitConfig(sigma_fallback=30)
+    with pytest.raises(Exception):
+        peaks, _ = lines.separate_lines(img, contour, -90.0, sigma_big,
+                                        vertical=True)
+        if len(peaks) != 1:          # only the 1-peak branch must raise
+            raise RuntimeError("test setup produced != 1 peak")
+
+
+def test_two_line_case():
+    img, contour = _striped_patch(h=300, n_lines=2, line_h=25)
+    peaks, boxes = lines.separate_lines(img, contour, 0.0)
+    assert len(boxes) == len(peaks)
+    assert 1 <= len(boxes) <= 3
+
+
+def test_rotated_boxes_roundtrip():
+    """With theta=0 the rotation back into the page frame is the identity."""
+    img, contour = _striped_patch(n_lines=3)
+    _, boxes = lines.separate_lines(img, contour, 0.0)
+    for b in boxes:
+        assert b[0, 1] == b[1, 1]    # horizontal top edge
+        assert b[2, 1] == b[3, 1]    # horizontal bottom edge
+        assert b[0, 0] == b[3, 0]    # vertical left edge

@@ -1,0 +1,169 @@
+"""Model family, checkpoint I/O, h5 import, and inference-runner tests.
+
+Tiny geometries/widths keep CPU compile times low; the architectures are
+size-agnostic.
+"""
+
+import numpy as np
+import pytest
+
+from sbb_textline_detection_tpu.models import checkpoint, registry, runner
+
+TINY = registry.ModelSpec("tiny", "tpu_unet", 64, 64, 3, widths=(8, 16))
+
+
+def _tiny_model():
+    variables = registry.init_variables(TINY, seed=0)
+    from sbb_textline_detection_tpu.core.config import RuntimeConfig
+    rt = RuntimeConfig(batch_buckets=(2, 4, 8))
+    return runner.SegmentationModel(TINY, variables, rt)
+
+
+def test_tpu_unet_output_shape():
+    model = _tiny_model()
+    batch = np.random.default_rng(0).integers(0, 255, (2, 64, 64, 3)).astype(np.uint8)
+    labels = model.predict_labels(batch)
+    assert labels.shape == (2, 64, 64)
+    assert labels.dtype == np.uint8
+    assert labels.max() < TINY.n_classes
+
+
+def test_predict_labels_padding_does_not_leak():
+    # Same bucket (4): a padded 3-batch must equal the first 3 of a 4-batch;
+    # per-sample outputs are independent of the other batch entries.
+    model = _tiny_model()
+    rng = np.random.default_rng(1)
+    batch4 = rng.integers(0, 255, (4, 64, 64, 3)).astype(np.uint8)
+    out4 = model.predict_labels(batch4)
+    out3 = model.predict_labels(batch4[:3])
+    np.testing.assert_array_equal(out3, out4[:3])
+    # determinism on repeat
+    np.testing.assert_array_equal(out4, model.predict_labels(batch4))
+
+
+def test_predict_whole_and_tiled_shapes():
+    model = _tiny_model()
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 255, (150, 131, 3)).astype(np.uint8)
+    whole = model.predict_whole(img)
+    assert whole.shape == (150, 131)
+    tiled = model.predict_tiled(img)
+    assert tiled.shape == (150, 131)
+    # smaller-than-model image degrades gracefully in tiled mode
+    small = rng.integers(0, 255, (40, 40, 3)).astype(np.uint8)
+    assert model.predict_tiled(small).shape == (40, 40)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    variables = registry.init_variables(TINY, seed=3)
+    path = str(tmp_path / "tiny.npz")
+    checkpoint.save(path, TINY, variables)
+    spec2, tree2 = checkpoint.load(path)
+    assert spec2 == TINY
+    import jax
+    leaves1 = jax.tree_util.tree_leaves(variables)
+    leaves2 = jax.tree_util.tree_leaves(tree2)
+    assert len(leaves1) == len(leaves2)
+    for a, b in zip(leaves1, leaves2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # loaded tree drives the model identically
+    from sbb_textline_detection_tpu.core.config import RuntimeConfig
+    m1 = runner.SegmentationModel(TINY, variables, RuntimeConfig(batch_buckets=(2,)))
+    m2 = runner.SegmentationModel(TINY, tree2, RuntimeConfig(batch_buckets=(2,)))
+    img = np.random.default_rng(4).integers(0, 255, (1, 64, 64, 3)).astype(np.uint8)
+    np.testing.assert_array_equal(m1.predict_labels(img), m2.predict_labels(img))
+
+
+def test_checkpoint_path_strips_h5():
+    assert checkpoint.checkpoint_path("/m", "model_x.h5") == "/m/model_x.npz"
+    assert checkpoint.checkpoint_path("/m", "model_x") == "/m/model_x.npz"
+
+
+@pytest.mark.slow
+def test_h5_import_fills_resnet50_unet(tmp_path):
+    """Build a synthetic Keras-layout .h5 with canonical ResNet50 + decoder
+    layer names and verify the importer fills the flax tree completely."""
+    import h5py
+    import jax
+
+    spec = registry.ModelSpec("r50", "resnet50_unet", 64, 64, 2)
+    variables = registry.init_variables(spec, seed=0)
+    variables = jax.tree_util.tree_map(np.asarray, variables)
+
+    from sbb_textline_detection_tpu.models import h5_import
+
+    # Collect target shapes by walking our own tree through the name mapping.
+    params = variables["params"]
+    stats = variables["batch_stats"]
+
+    def conv_shapes(path):
+        node = params
+        for p in path:
+            node = node[p]
+        return node
+
+    path = str(tmp_path / "fake.h5")
+    rng = np.random.default_rng(0)
+
+    layer_names = []
+    with h5py.File(path, "w") as f:
+        g = f.create_group("model_weights")
+
+        def add_conv(keras_name, flax_path):
+            node = conv_shapes(flax_path)
+            lg = g.create_group(keras_name)
+            names = []
+            for leaf in ("kernel", "bias"):
+                if leaf in node:
+                    wn = f"{keras_name}/{leaf}:0"
+                    lg.create_dataset(wn, data=rng.normal(size=node[leaf].shape)
+                                      .astype(np.float32))
+                    names.append(wn.encode())
+            lg.attrs["weight_names"] = names
+            layer_names.append(keras_name.encode())
+
+        def add_bn(keras_name, flax_path):
+            pnode = params
+            snode = stats
+            for p in flax_path:
+                pnode = pnode[p]
+                snode = snode[p]
+            lg = g.create_group(keras_name)
+            names = []
+            for leaf, src in (("gamma", pnode["scale"]), ("beta", pnode["bias"]),
+                              ("moving_mean", snode["mean"]),
+                              ("moving_variance", snode["var"])):
+                wn = f"{keras_name}/{leaf}:0"
+                lg.create_dataset(wn, data=rng.normal(size=src.shape)
+                                  .astype(np.float32))
+                names.append(wn.encode())
+            lg.attrs["weight_names"] = names
+            layer_names.append(keras_name.encode())
+
+        add_conv("conv1", ("conv1",))
+        add_bn("bn_conv1", ("bn_conv1", "BatchNorm_0"))
+        stages = {2: "abc", 3: "abcd", 4: "abcdef", 5: "abc"}
+        for s, blocks in stages.items():
+            for b in blocks:
+                base = f"res{s}{b}"
+                for br, (cv, bn) in h5_import._BRANCH_TO_FLAX.items():
+                    if br == "1" and b != "a":
+                        continue
+                    add_conv(f"res{s}{b}_branch{br}", (base, cv))
+                    add_bn(f"bn{s}{b}_branch{br}", (base, bn, "BatchNorm_0"))
+        for i, name in enumerate(h5_import._DECODER_CONVS):
+            add_conv(f"conv2d_{i+1}", (name,))
+        for i, name in enumerate(h5_import._DECODER_BNS):
+            add_bn(f"batch_normalization_{i+1}", (name, "BatchNorm_0"))
+        g.attrs["layer_names"] = layer_names
+
+    out, report = h5_import.import_h5(path, variables)
+    assert report.unmapped_source == []
+    assert report.unfilled_target == []
+    assert report.complete
+    # imported weights actually differ from the random init and run forward
+    from sbb_textline_detection_tpu.core.config import RuntimeConfig
+    m = runner.SegmentationModel(spec, out, RuntimeConfig(batch_buckets=(1,)))
+    img = np.zeros((1, 64, 64, 3), np.uint8)
+    labels = m.predict_labels(img)
+    assert labels.shape == (1, 64, 64)
