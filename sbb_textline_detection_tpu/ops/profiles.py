@@ -12,9 +12,11 @@ This module owns both:
     scoring), where profiles are padded to static lengths and peaks are
     returned as boolean masks instead of index lists.
 
-The JAX peak finder is strict-local-maximum only; after float Gaussian
-smoothing, plateaus of equal positive values have measure zero, and flat
-zero runs are never peaks, so this matches the host semantics in practice.
+The JAX peak finder is plateau-aware with scipy's midpoint convention:
+Gaussian smoothing does NOT dissolve wide plateaus (a constant run farther
+than the kernel radius from any transition stays exactly constant), and
+sharply deskewed projection profiles are full of them — strict-neighbor
+masks would report zero peaks exactly at the best angles.
 """
 
 from __future__ import annotations
@@ -121,8 +123,34 @@ def gaussian_filter1d(y: jax.Array, sigma: float, truncate: float = 4.0) -> jax.
 
 @jax.jit
 def peak_mask(y: jax.Array) -> jax.Array:
-    """Strict local-maximum mask along the last axis (borders False)."""
+    """Plateau-aware local-maximum mask along the last axis.
+
+    Matches scipy.signal._local_maxima_1d (and local_maxima_host above): a
+    maximal constant run is a peak iff the adjacent values on both sides are
+    strictly lower; the mask is set at the run's midpoint
+    ``left + (right - left) // 2``. Runs touching either border are not
+    peaks. Vectorized via cumulative max/min over change-point indices.
+    """
     y = y.astype(jnp.float32)
-    left = jnp.concatenate([y[..., :1] + 1.0, y[..., :-1]], axis=-1)
-    right = jnp.concatenate([y[..., 1:], y[..., -1:] + 1.0], axis=-1)
-    return (y > left) & (y > right)
+    n = y.shape[-1]
+    if n < 3:
+        return jnp.zeros(y.shape, dtype=bool)
+    d = y[..., 1:] - y[..., :-1]                      # (..., n-1)
+    nz = d != 0
+    idx = jnp.arange(n - 1)
+    shape1 = y.shape[:-1] + (1,)
+    # prev[i]: index of the last nonzero diff strictly before position i
+    prev_c = jax.lax.cummax(jnp.where(nz, idx, -1), axis=y.ndim - 1)
+    prev = jnp.concatenate(
+        [jnp.full(shape1, -1, prev_c.dtype), prev_c], axis=-1)
+    # nxt[i]: index of the first nonzero diff at/after position i
+    nxt_c = jax.lax.cummin(jnp.where(nz, idx, n), axis=y.ndim - 1,
+                           reverse=True)
+    nxt = jnp.concatenate(
+        [nxt_c, jnp.full(shape1, n, nxt_c.dtype)], axis=-1)
+    d_prev = jnp.take_along_axis(d, jnp.clip(prev, 0, n - 2), axis=-1)
+    d_next = jnp.take_along_axis(d, jnp.clip(nxt, 0, n - 2), axis=-1)
+    rising = (prev >= 0) & (d_prev > 0)
+    falling = (nxt <= n - 2) & (d_next < 0)
+    mid = (prev + 1 + nxt) // 2                       # plateau = [prev+1, nxt]
+    return rising & falling & (jnp.arange(n) == mid)

@@ -33,9 +33,16 @@ main.py:1545-1599) is reproduced on device including its quirks:
     (main.py:1647-1650), making that angle "valid with variance 0" — we flag
     and reproduce that;
   * an angle with no qualifying positive peaks or no sub-grenze negative
-    peaks yields NaN upstream and is *excluded* (main.py:1651-1657), and the
-    final argmax indexes the full angle array with the position inside the
-    compacted valid-only array (main.py:1665) — quirk preserved on the host.
+    peaks yields NaN upstream and is *excluded* (main.py:1651-1657).
+
+Deliberate deviation: upstream's final argmax indexes the FULL angle array
+with the position inside the compacted valid-only array (main.py:1665), an
+off-by-k bug whenever any earlier angle was excluded. With upstream's
+full-resolution canvas exclusions are rare, so the bug rarely fires there;
+our bucketed canvas changes peak-magnitude numerics enough that preserving
+the index quirk would *diverge* from upstream's observable output. We index
+the valid angles directly, which equals upstream behavior in the common
+all-valid case and upstream intent otherwise.
 """
 
 from __future__ import annotations
@@ -167,9 +174,7 @@ class DeskewEngine:
         compact = score[valid]
         if compact.size == 0:
             return 0.0  # upstream: argmax of empty raises -> except -> 0
-        # Reference quirk (main.py:1665): the argmax position inside the
-        # compacted valid-only array indexes the FULL angle array.
-        return float(angles[int(np.argmax(compact))])
+        return float(angles[valid][int(np.argmax(compact))])
 
     def best_angle(self, crop: np.ndarray) -> float:
         """Reference return_deskew_slope (main.py:1601-1718): coarse sweep

@@ -95,10 +95,36 @@ def test_empty_crop_returns_zero():
     assert engine.best_angle(np.zeros((50, 80), np.uint8)) == 0.0
 
 
-def test_vertical_text_triggers_second_sweep():
-    mask = _text_mask(h=300, w=220, n_lines=6, line_h=8)
-    # vertical text = horizontal lines rotated by 90 degrees
-    vert = mask.T.copy()
+def test_vertical_sweep_recovers_steep_rotation():
+    """The vertical grid [-90, -50] (main.py:1670) must localize text that
+    needs a ~-70 degree correction."""
+    mask = _text_mask(h=220, w=300, n_lines=6, line_h=8)
+    rot = rotate.rotate_image_host(mask.astype(np.float64), 70.0, order=3)
+    crop = (np.abs(rot) > 1e-3).astype(np.uint8)
     engine = deskew.DeskewEngine(DeskewConfig())
-    ang = engine.best_angle(vert)
-    assert abs(ang) >= 50.0 or ang == 0.0
+    canvas, s = engine._canvas(crop)
+    ang = engine._sweep(canvas, s, engine._vertical)
+    assert abs(ang + 70.0) < 2.0
+
+
+def test_coarse_angle_above_threshold_triggers_vertical_sweep(monkeypatch):
+    """best_angle re-sweeps [-90,-50] when |coarse| > 15 (main.py:1669) and
+    returns the vertical result."""
+    engine = deskew.DeskewEngine(DeskewConfig())
+    calls = []
+
+    def fake_sweep(canvas, s, angles):
+        calls.append(angles)
+        return 20.0 if angles is engine._coarse else -70.0
+
+    monkeypatch.setattr(engine, "_sweep", fake_sweep)
+    ang = engine.best_angle(_text_mask())
+    assert ang == -70.0
+    assert len(calls) == 2
+
+
+def test_coarse_angle_below_threshold_skips_vertical_sweep(monkeypatch):
+    engine = deskew.DeskewEngine(DeskewConfig())
+    monkeypatch.setattr(engine, "_sweep",
+                        lambda canvas, s, angles: 3.0)
+    assert engine.best_angle(_text_mask()) == 3.0

@@ -62,3 +62,33 @@ def test_peak_mask_device_matches_host_on_smooth_profiles():
     ours = np.flatnonzero(mask)
     ref = profiles.find_peaks_host(y)
     np.testing.assert_array_equal(ours, ref)
+
+
+def test_peak_mask_device_plateaus_match_scipy():
+    """Sharp projection profiles are full of flat plateaus that survive
+    Gaussian smoothing; the device mask must use scipy's plateau-midpoint
+    convention (regression: strict-neighbor masks report zero peaks at the
+    best deskew angles and mark them invalid)."""
+    cases = [
+        np.array([0, 1, 1, 0], float),
+        np.array([0, 2, 2, 2, 1, 3, 3, 0], float),
+        np.array([0, 5, 0, 5, 5, 5, 5, 0], float),
+        np.array([1, 1, 0], float),
+        np.array([0, 1, 1], float),
+    ]
+    for _ in range(100):
+        v = RNG.integers(0, 4, RNG.integers(3, 60)).astype(float)
+        cases.append(np.repeat(v, RNG.integers(1, 4, v.size)))
+    for y in cases:
+        ours = np.flatnonzero(np.asarray(profiles.peak_mask(y)))
+        ref, _ = scipy_find_peaks(y, height=0)
+        np.testing.assert_array_equal(ours, ref, err_msg=str(y))
+
+
+def test_peak_mask_batched():
+    y = RNG.integers(0, 5, size=(4, 7, 80)).astype(np.float32)
+    mask = np.asarray(profiles.peak_mask(y))
+    for i in range(4):
+        for j in range(7):
+            ref, _ = scipy_find_peaks(y[i, j].astype(float), height=0)
+            np.testing.assert_array_equal(np.flatnonzero(mask[i, j]), ref)
