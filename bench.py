@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""End-to-end benchmark: pages/sec for the full textline-detection cascade.
+
+The reference publishes no numbers (SURVEY.md §6; its only instrumentation
+is per-stage stdout timing, upstream main.py:2144-2151), so the baseline is
+the project target from BASELINE.md: >= 50 pages/sec/chip end-to-end on
+300-DPI scans. `vs_baseline` below is value / 50.
+
+Protocol:
+  1. Obtain bench checkpoints for the three flagship TpuUnets. Weight
+     *values* don't affect speed (same FLOPs), but mask quality drives the
+     post-processing load, so random weights would benchmark an unrealistic
+     cascade. The harness quick-trains each role on its synthetic task
+     (binarization-grade, converges in ~100 steps) and caches the .npz
+     checkpoints; cached runs skip training.
+  2. Generate 300-DPI-like A4 pages (3508x2480) with multi-column paragraph
+     layouts (utils/synthetic.py).
+  3. One warm-up page (compiles all tile buckets), then time N pages
+     through TextlineDetector.process_image + PAGE-XML serialization.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+TARGET_PAGES_PER_SEC = 50.0
+_CKPT_CACHE = os.environ.get(
+    "SBB_BENCH_CKPT_DIR", os.path.join("/tmp", "sbb_tpu_bench_ckpts"))
+
+
+def _log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def ensure_bench_checkpoints(ckpt_dir: str, steps: int, seed: int = 0) -> str:
+    """Train-or-load the three bench checkpoints; returns the directory."""
+    import jax
+    from sbb_textline_detection_tpu.core.config import DEFAULT_CONFIG
+    from sbb_textline_detection_tpu.models import checkpoint, registry
+    from sbb_textline_detection_tpu.training import train
+    from sbb_textline_detection_tpu.utils import synthetic
+
+    os.makedirs(ckpt_dir, exist_ok=True)
+    names = DEFAULT_CONFIG.model_names
+    for role in ("page", "region", "textline"):
+        path = checkpoint.checkpoint_path(ckpt_dir, getattr(names, role))
+        if os.path.exists(path):
+            continue
+        spec = registry.DEFAULT_SPECS[role]
+        _log(f"[bench] training {role} checkpoint "
+             f"({steps} steps) -> {path}")
+        trainer = train.Trainer(spec, learning_rate=3e-4, seed=seed)
+        rng = np.random.default_rng(seed)
+        batch_fn = synthetic.BATCH_FNS[role]
+
+        def data_iter():
+            while True:
+                imgs, labels = batch_fn(
+                    rng, 8, spec.input_height, spec.input_width)
+                yield imgs, labels
+
+        t0 = time.time()
+        losses = trainer.train(data_iter(), steps)
+        jax.block_until_ready(trainer.variables)
+        _log(f"[bench] {role}: loss {losses[0]:.4f} -> {losses[-1]:.4f} "
+             f"({time.time() - t0:.1f}s)")
+        trainer.save(path)
+    return ckpt_dir
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", type=int, default=4,
+                    help="number of timed pages")
+    ap.add_argument("--train-steps", type=int, default=120)
+    ap.add_argument("--ckpt-dir", default=_CKPT_CACHE)
+    ap.add_argument("--page-height", type=int, default=3508)
+    ap.add_argument("--page-width", type=int, default=2480)
+    args = ap.parse_args()
+
+    from sbb_textline_detection_tpu.core.config import DEFAULT_CONFIG
+    from sbb_textline_detection_tpu.models.runner import ModelBundle
+    from sbb_textline_detection_tpu.pipeline.detector import TextlineDetector
+    from sbb_textline_detection_tpu.utils import synthetic
+
+    ensure_bench_checkpoints(args.ckpt_dir, args.train_steps)
+    models = ModelBundle.from_dir(args.ckpt_dir, DEFAULT_CONFIG.runtime,
+                                  DEFAULT_CONFIG.model_names)
+    detector = TextlineDetector(models, DEFAULT_CONFIG)
+
+    rng = np.random.default_rng(7)
+    pages = [synthetic.make_page(rng, args.page_height, args.page_width)[0]
+             for _ in range(args.pages)]
+
+    _log("[bench] warm-up page (compilation)...")
+    t0 = time.time()
+    detector.process_image(pages[0], "warmup.png")
+    _log(f"[bench] warm-up took {time.time() - t0:.1f}s")
+
+    lat = []
+    stage_sums: dict = {}
+    regions = lines = 0
+    for i, page in enumerate(pages):
+        t0 = time.time()
+        res = detector.process_image(page, f"bench_{i}.png")
+        lat.append(time.time() - t0)
+        regions += len(res.contours)
+        lines += sum(len(t) for t in res.textlines)
+        for k, v in res.timings.items():
+            stage_sums[k] = stage_sums.get(k, 0.0) + v
+        _log(f"[bench] page {i}: {lat[-1]:.2f}s "
+             f"({len(res.contours)} regions)")
+
+    total = sum(lat)
+    pages_per_sec = len(pages) / total
+    p50_ms = float(np.percentile(lat, 50) * 1000.0)
+    result = {
+        "metric": "pages_per_sec_end_to_end_300dpi",
+        "value": round(pages_per_sec, 4),
+        "unit": "pages/sec/chip",
+        "vs_baseline": round(pages_per_sec / TARGET_PAGES_PER_SEC, 4),
+        "p50_latency_ms": round(p50_ms, 1),
+        "pages": len(pages),
+        "regions_total": regions,
+        "lines_total": lines,
+        "stage_seconds_per_page": {
+            k: round(v / len(pages), 3) for k, v in sorted(stage_sums.items())},
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

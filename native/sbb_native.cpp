@@ -1,0 +1,294 @@
+// Native host-side geometry/runtime ops for the TPU textline framework.
+//
+// The reference delegates its host geometry to OpenCV's C++ core
+// (cv2.findContours/fillPoly/erode/dilate/pointPolygonTest — see SURVEY.md
+// §2.3); this library owns the same surface for our pipeline. The Python
+// implementations in sbb_textline_detection_tpu/ops/contours.py and
+// ops/morphology.py are the behavioral oracles: every function here has a
+// parity test against them (tests/test_native.py).
+//
+// Build: `make -C native` -> libsbbnative.so, loaded via ctypes
+// (sbb_textline_detection_tpu/native_bridge.py) with graceful fallback.
+//
+// C ABI only — no pybind11 in this environment.
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <algorithm>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Moore boundary tracing (parity with ops/contours.py::_trace_moore).
+// mask: (h, w) uint8 crop of ONE component; (sy, sx) its row-major-first
+// foreground pixel. Writes (x, y) int64 pairs into out_xy (capacity max_pts).
+// Returns the number of points, or -1 if capacity was exceeded.
+// ---------------------------------------------------------------------------
+
+static const int MOORE_DX[8] = {-1, -1, 0, 1, 1, 1, 0, -1};
+static const int MOORE_DY[8] = {0, -1, -1, -1, 0, 1, 1, 1};
+
+int64_t sbb_trace_moore(const uint8_t* mask, int64_t h, int64_t w,
+                        int64_t sy, int64_t sx,
+                        int64_t* out_xy, int64_t max_pts) {
+  auto fg = [&](int64_t y, int64_t x) -> bool {
+    return y >= 0 && y < h && x >= 0 && x < w && mask[y * w + x] != 0;
+  };
+  // Visited state = (pixel, backtrack dir): 8 bits per pixel.
+  std::vector<uint8_t> seen(static_cast<size_t>(h) * w, 0);
+
+  int64_t px = sx, py = sy;
+  int b = 0;  // backtrack points West (background by row-major scan order)
+  int64_t n = 0;
+  if (max_pts < 1) return -1;
+  out_xy[0] = px;
+  out_xy[1] = py;
+  n = 1;
+  seen[py * w + px] |= (1u << b);
+
+  for (;;) {
+    int found = -1, prev = b;
+    for (int k = 1; k <= 8; ++k) {
+      int d = (b + k) & 7;
+      if (fg(py + MOORE_DY[d], px + MOORE_DX[d])) {
+        found = d;
+        prev = (b + k - 1) & 7;
+        break;
+      }
+    }
+    if (found < 0) break;  // isolated pixel
+    int64_t bgx = px + MOORE_DX[prev];
+    int64_t bgy = py + MOORE_DY[prev];
+    px += MOORE_DX[found];
+    py += MOORE_DY[found];
+    int ddx = static_cast<int>(bgx - px);
+    int ddy = static_cast<int>(bgy - py);
+    int nb = 0;
+    for (int d = 0; d < 8; ++d) {
+      if (MOORE_DX[d] == ddx && MOORE_DY[d] == ddy) { nb = d; break; }
+    }
+    b = nb;
+    uint8_t bit = static_cast<uint8_t>(1u << b);
+    uint8_t& cell = seen[py * w + px];
+    if (cell & bit) break;  // first repeated (pixel, backtrack) closes the loop
+    cell |= bit;
+    if (n >= max_pts) return -1;
+    out_xy[2 * n] = px;
+    out_xy[2 * n + 1] = py;
+    ++n;
+  }
+  return n;
+}
+
+// ---------------------------------------------------------------------------
+// 8-connected component labeling (parity with scipy.ndimage.label on an
+// 8-connected structure): two-pass union-find. labels: (h, w) int32 out,
+// 0 = background, components numbered 1..n in row-major first-pixel order.
+// Returns n.
+// ---------------------------------------------------------------------------
+
+static int32_t uf_find(std::vector<int32_t>& parent, int32_t x) {
+  while (parent[x] != x) {
+    parent[x] = parent[parent[x]];
+    x = parent[x];
+  }
+  return x;
+}
+
+int64_t sbb_label_components(const uint8_t* mask, int64_t h, int64_t w,
+                             int32_t* labels) {
+  std::vector<int32_t> parent(1, 0);  // parent[0] unused
+  // First pass: provisional labels, merging with W, NW, N, NE neighbors.
+  for (int64_t y = 0; y < h; ++y) {
+    for (int64_t x = 0; x < w; ++x) {
+      if (!mask[y * w + x]) { labels[y * w + x] = 0; continue; }
+      int32_t neigh[4];
+      int cnt = 0;
+      if (x > 0 && labels[y * w + x - 1]) neigh[cnt++] = labels[y * w + x - 1];
+      if (y > 0) {
+        const int64_t r = (y - 1) * w;
+        if (x > 0 && labels[r + x - 1]) neigh[cnt++] = labels[r + x - 1];
+        if (labels[r + x]) neigh[cnt++] = labels[r + x];
+        if (x + 1 < w && labels[r + x + 1]) neigh[cnt++] = labels[r + x + 1];
+      }
+      if (cnt == 0) {
+        int32_t nl = static_cast<int32_t>(parent.size());
+        parent.push_back(nl);
+        labels[y * w + x] = nl;
+      } else {
+        int32_t m = neigh[0];
+        for (int i = 1; i < cnt; ++i) m = std::min(m, neigh[i]);
+        labels[y * w + x] = m;
+        for (int i = 0; i < cnt; ++i) {
+          int32_t ra = uf_find(parent, m), rb = uf_find(parent, neigh[i]);
+          if (ra != rb) parent[std::max(ra, rb)] = std::min(ra, rb);
+        }
+      }
+    }
+  }
+  // Second pass: compress + renumber in row-major first-appearance order.
+  std::vector<int32_t> remap(parent.size(), 0);
+  int32_t next_label = 0;
+  for (int64_t i = 0; i < h * w; ++i) {
+    if (!labels[i]) continue;
+    int32_t root = uf_find(parent, labels[i]);
+    if (!remap[root]) remap[root] = ++next_label;
+    labels[i] = remap[root];
+  }
+  return next_label;
+}
+
+// ---------------------------------------------------------------------------
+// Per-label reductions over a label map: bounding boxes (x0, y0, x1, y1
+// inclusive) and row-major-first seed pixel per label. boxes: (n, 4) int64;
+// seeds: (n, 2) int64 as (y, x). Labels are 1..n.
+// ---------------------------------------------------------------------------
+
+void sbb_label_stats(const int32_t* labels, int64_t h, int64_t w, int64_t n,
+                     int64_t* boxes, int64_t* seeds) {
+  for (int64_t i = 0; i < n; ++i) {
+    boxes[i * 4 + 0] = w;  boxes[i * 4 + 1] = h;
+    boxes[i * 4 + 2] = -1; boxes[i * 4 + 3] = -1;
+    seeds[i * 2 + 0] = -1; seeds[i * 2 + 1] = -1;
+  }
+  for (int64_t y = 0; y < h; ++y) {
+    for (int64_t x = 0; x < w; ++x) {
+      int32_t l = labels[y * w + x];
+      if (l <= 0 || l > n) continue;
+      int64_t* b = boxes + (l - 1) * 4;
+      if (x < b[0]) b[0] = x;
+      if (y < b[1]) b[1] = y;
+      if (x > b[2]) b[2] = x;
+      if (y > b[3]) b[3] = y;
+      int64_t* s = seeds + (l - 1) * 2;
+      if (s[0] < 0) { s[0] = y; s[1] = x; }
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Even-odd scanline polygon fill + boundary (parity with
+// ops/contours.py::fill_polygon). pts: (n, 2) float64 (x, y).
+// ---------------------------------------------------------------------------
+
+void sbb_fill_polygon(const double* pts, int64_t n, int64_t h, int64_t w,
+                      uint8_t* mask) {
+  std::memset(mask, 0, static_cast<size_t>(h) * w);
+  if (n == 0) return;
+  if (n < 3) {
+    for (int64_t i = 0; i < n; ++i) {
+      int64_t x = static_cast<int64_t>(pts[2 * i]);
+      int64_t y = static_cast<int64_t>(pts[2 * i + 1]);
+      if (y >= 0 && y < h && x >= 0 && x < w) mask[y * w + x] = 1;
+    }
+    return;
+  }
+  double ymin_f = pts[1], ymax_f = pts[1];
+  for (int64_t i = 1; i < n; ++i) {
+    ymin_f = std::min(ymin_f, pts[2 * i + 1]);
+    ymax_f = std::max(ymax_f, pts[2 * i + 1]);
+  }
+  int64_t ymin = std::max<int64_t>(static_cast<int64_t>(std::floor(ymin_f)), 0);
+  int64_t ymax = std::min<int64_t>(static_cast<int64_t>(std::ceil(ymax_f)), h - 1);
+  std::vector<double> xs;
+  for (int64_t y = ymin; y <= ymax; ++y) {
+    xs.clear();
+    for (int64_t i = 0; i < n; ++i) {
+      double x1 = pts[2 * i], y1 = pts[2 * i + 1];
+      double x2 = pts[2 * ((i + 1) % n)], y2 = pts[2 * ((i + 1) % n) + 1];
+      if ((y1 <= y) != (y2 <= y)) {
+        xs.push_back(x1 + (y - y1) * (x2 - x1) / (y2 - y1));
+      }
+    }
+    if (xs.empty()) continue;
+    std::sort(xs.begin(), xs.end());
+    for (size_t k = 0; k + 1 < xs.size(); k += 2) {
+      int64_t a = std::max<int64_t>(static_cast<int64_t>(std::ceil(xs[k])), 0);
+      int64_t b = std::min<int64_t>(static_cast<int64_t>(std::floor(xs[k + 1])),
+                                    w - 1);
+      if (a <= b) std::memset(mask + y * w + a, 1, static_cast<size_t>(b - a + 1));
+    }
+  }
+  // Boundary pixels (matches _draw_boundary: linspace-rounded segments).
+  for (int64_t i = 0; i < n; ++i) {
+    double x0 = pts[2 * i], y0 = pts[2 * i + 1];
+    double x1 = pts[2 * ((i + 1) % n)], y1 = pts[2 * ((i + 1) % n) + 1];
+    int64_t steps =
+        static_cast<int64_t>(std::max(std::abs(x1 - x0), std::abs(y1 - y0))) + 1;
+    // Bit-for-bit np.linspace: value = s*step + start (and endpoint = stop),
+    // then nearbyint = numpy's round-half-to-even. Any other association
+    // differs by 1 ulp at exact .5 midpoints and flips the rounding.
+    double xstep = steps > 1 ? (x1 - x0) / (steps - 1) : 0.0;
+    double ystep = steps > 1 ? (y1 - y0) / (steps - 1) : 0.0;
+    for (int64_t s = 0; s < steps; ++s) {
+      double xv = (s == steps - 1) ? x1 : static_cast<double>(s) * xstep + x0;
+      double yv = (s == steps - 1) ? y1 : static_cast<double>(s) * ystep + y0;
+      int64_t x = static_cast<int64_t>(std::nearbyint(xv));
+      int64_t y = static_cast<int64_t>(std::nearbyint(yv));
+      if (y >= 0 && y < h && x >= 0 && x < w) mask[y * w + x] = 1;
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Rectangular-kernel binary erode/dilate, iterated. Van Herk sliding min/max
+// per axis: O(hw) per iteration independent of kernel size. Iterating an
+// erosion n times with a k-kernel equals one pass with (n(k-1)+1), so we do
+// one separable pass. Border semantics: cv2-style constant border
+// (0 for dilate, 1 for erode outside the image).
+// ---------------------------------------------------------------------------
+
+static void running_minmax_1d(const uint8_t* in, uint8_t* out, int64_t len,
+                              int64_t stride, int64_t radius, bool is_max,
+                              uint8_t border) {
+  // Simple two-pointer deque-free approach for binary data: prefix runs.
+  // For binary masks a windowed max is "any 1 in window"; min is "all 1".
+  // Track the index of the last 1 (for max) / last 0 (for min).
+  int64_t last = -(radius + len + 2);
+  const uint8_t target = is_max ? 1 : 0;
+  // Preload positions < 0 as border value.
+  if (border == target) last = -1;  // border cells count as target just off the edge
+  // Prescan the initial window body [0, radius-1]; the main loop's lead
+  // pointer starts at i + radius and would never visit these.
+  for (int64_t j = 0; j < std::min(radius, len); ++j) {
+    if (in[j * stride] == target) last = j;
+  }
+  // We scan with a lead pointer at i + radius.
+  for (int64_t i = 0; i < len; ++i) {
+    int64_t lead = i + radius;
+    if (lead < len) {
+      if (in[lead * stride] == target) last = lead;
+    } else if (border == target) {
+      last = lead;  // border beyond the end counts as target
+    }
+    // Window covers [i - radius, i + radius]; validity of 'last':
+    if (last >= i - radius) {
+      out[i * stride] = is_max ? 1 : 0;
+    } else {
+      out[i * stride] = is_max ? 0 : 1;
+    }
+  }
+}
+
+void sbb_morph_binary(const uint8_t* in, int64_t h, int64_t w,
+                      int64_t kernel, int64_t iterations, int is_dilate,
+                      uint8_t* out) {
+  int64_t radius = (iterations * (kernel - 1)) / 2;
+  if (radius == 0) { std::memcpy(out, in, static_cast<size_t>(h) * w); return; }
+  uint8_t border = is_dilate ? 0 : 1;
+  std::vector<uint8_t> tmp(static_cast<size_t>(h) * w);
+  // rows
+  for (int64_t y = 0; y < h; ++y) {
+    running_minmax_1d(in + y * w, tmp.data() + y * w, w, 1, radius,
+                      is_dilate != 0, border);
+  }
+  // cols
+  for (int64_t x = 0; x < w; ++x) {
+    running_minmax_1d(tmp.data() + x, out + x, h, w, radius,
+                      is_dilate != 0, border);
+  }
+}
+
+}  // extern "C"

@@ -1,0 +1,135 @@
+"""ctypes bridge to the native geometry library (native/sbb_native.cpp).
+
+The native library owns the host-side geometry hot path (boundary tracing,
+component labeling, polygon fill, binary morphology) — the surface the
+reference delegates to OpenCV's C++ core. Loading is best-effort: if the
+shared library hasn't been built (`make -C native`), every accessor returns
+None and callers keep their pure-numpy fallback, which is also the parity
+oracle for tests/test_native.py.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB_NAME = "libsbbnative.so"
+_lib: Optional[ctypes.CDLL] = None
+_load_attempted = False
+
+_i64 = ctypes.c_int64
+_p_u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+_p_i32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+_p_i64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_p_f64 = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+
+
+def _candidate_paths():
+    here = os.path.dirname(os.path.abspath(__file__))
+    yield os.path.join(here, _LIB_NAME)
+    yield os.path.join(os.path.dirname(here), "native", _LIB_NAME)
+    env = os.environ.get("SBB_NATIVE_LIB")
+    if env:
+        yield env
+
+
+def load() -> Optional[ctypes.CDLL]:
+    """Load (once) and return the native library, or None if unavailable."""
+    global _lib, _load_attempted
+    if _load_attempted:
+        return _lib
+    _load_attempted = True
+    for path in _candidate_paths():
+        if not os.path.exists(path):
+            continue
+        try:
+            lib = ctypes.CDLL(path)
+        except OSError:
+            continue
+        lib.sbb_trace_moore.restype = _i64
+        lib.sbb_trace_moore.argtypes = [_p_u8, _i64, _i64, _i64, _i64,
+                                        _p_i64, _i64]
+        lib.sbb_label_components.restype = _i64
+        lib.sbb_label_components.argtypes = [_p_u8, _i64, _i64, _p_i32]
+        lib.sbb_label_stats.restype = None
+        lib.sbb_label_stats.argtypes = [_p_i32, _i64, _i64, _i64, _p_i64,
+                                        _p_i64]
+        lib.sbb_fill_polygon.restype = None
+        lib.sbb_fill_polygon.argtypes = [_p_f64, _i64, _i64, _i64, _p_u8]
+        lib.sbb_morph_binary.restype = None
+        lib.sbb_morph_binary.argtypes = [_p_u8, _i64, _i64, _i64, _i64,
+                                         ctypes.c_int, _p_u8]
+        _lib = lib
+        break
+    return _lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+# -- typed wrappers ----------------------------------------------------------
+
+def trace_moore(mask_u8: np.ndarray, sy: int, sx: int) -> np.ndarray:
+    """(N, 2) int64 (x, y) boundary chain of the component seeded at (sy, sx)."""
+    lib = load()
+    assert lib is not None
+    mask_u8 = np.ascontiguousarray(mask_u8, dtype=np.uint8)
+    h, w = mask_u8.shape
+    # Worst-case boundary length: every pixel visited from up to 8 backtrack
+    # states is bounded by 4*(h*w); perimeter-ish components are far smaller.
+    cap = 4 * (h + w) + 16
+    while True:
+        out = np.empty((cap, 2), dtype=np.int64)
+        n = lib.sbb_trace_moore(mask_u8, h, w, sy, sx, out.reshape(-1), cap)
+        if n >= 0:
+            return out[:n]
+        cap *= 4
+        if cap > 8 * h * w + 64:
+            raise RuntimeError("trace_moore capacity blowup")
+
+
+def label_components(mask: np.ndarray) -> Tuple[np.ndarray, int]:
+    lib = load()
+    assert lib is not None
+    mask_u8 = np.ascontiguousarray(np.asarray(mask) != 0, dtype=np.uint8)
+    h, w = mask_u8.shape
+    labels = np.empty((h, w), dtype=np.int32)
+    n = lib.sbb_label_components(mask_u8, h, w, labels)
+    return labels, int(n)
+
+
+def label_stats(labels: np.ndarray, n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-label inclusive bboxes (n,4) int64 (x0,y0,x1,y1) and row-major
+    first pixels (n,2) int64 (y,x)."""
+    lib = load()
+    assert lib is not None
+    labels = np.ascontiguousarray(labels, dtype=np.int32)
+    h, w = labels.shape
+    boxes = np.empty((n, 4), dtype=np.int64)
+    seeds = np.empty((n, 2), dtype=np.int64)
+    lib.sbb_label_stats(labels, h, w, n, boxes.reshape(-1), seeds.reshape(-1))
+    return boxes, seeds
+
+
+def fill_polygon(pts: np.ndarray, h: int, w: int) -> np.ndarray:
+    lib = load()
+    assert lib is not None
+    pts = np.ascontiguousarray(np.asarray(pts, dtype=np.float64).reshape(-1, 2))
+    mask = np.empty((h, w), dtype=np.uint8)
+    lib.sbb_fill_polygon(pts.reshape(-1), pts.shape[0], h, w, mask)
+    return mask
+
+
+def morph_binary(mask: np.ndarray, kernel: int, iterations: int,
+                 dilate: bool) -> np.ndarray:
+    lib = load()
+    assert lib is not None
+    mask_u8 = np.ascontiguousarray(np.asarray(mask) != 0, dtype=np.uint8)
+    h, w = mask_u8.shape
+    out = np.empty((h, w), dtype=np.uint8)
+    lib.sbb_morph_binary(mask_u8, h, w, kernel, iterations, int(dilate), out)
+    return out

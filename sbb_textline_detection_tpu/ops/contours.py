@@ -102,6 +102,31 @@ def set_native_tracer(fn) -> None:
     _native_tracer = fn
 
 
+def _find_contours_native(mask: np.ndarray, simplify: bool) -> List[np.ndarray]:
+    """Full-native path: C++ union-find labeling, per-label bbox/seed
+    reductions, and Moore tracing (native/sbb_native.cpp)."""
+    from sbb_textline_detection_tpu import native_bridge
+
+    labels, n = native_bridge.label_components(mask)
+    out: List[np.ndarray] = []
+    if n == 0:
+        return out
+    boxes, seeds = native_bridge.label_stats(labels, n)
+    for li in range(1, n + 1):
+        x0, y0, x1, y1 = boxes[li - 1]
+        if x1 < 0:
+            continue
+        crop = (labels[y0:y1 + 1, x0:x1 + 1] == li).astype(np.uint8)
+        sy = int(seeds[li - 1][0] - y0)
+        sx = int(seeds[li - 1][1] - x0)
+        chain = native_bridge.trace_moore(crop, sy, sx)
+        chain = chain + np.array([[x0, y0]])
+        if simplify:
+            chain = _compress_chain(chain)
+        out.append(chain)
+    return out
+
+
 def find_contours(mask: np.ndarray, simplify: bool = True) -> List[np.ndarray]:
     """Exterior contours of all 8-connected components of `mask` != 0.
 
@@ -109,7 +134,11 @@ def find_contours(mask: np.ndarray, simplify: bool = True) -> List[np.ndarray]:
     in component-label order (row-major discovery order, like cv2's list for
     simple layouts up to ordering).
     """
+    from sbb_textline_detection_tpu import native_bridge
+
     mask = np.asarray(mask) != 0
+    if native_bridge.available() and _native_tracer is None:
+        return _find_contours_native(mask, simplify)
     labels, n = label_components(mask)
     out: List[np.ndarray] = []
     if n == 0:
@@ -212,6 +241,10 @@ def points_in_polygon(pts: np.ndarray, qx: np.ndarray, qy: np.ndarray) -> np.nda
 def fill_polygon(pts: np.ndarray, h: int, w: int) -> np.ndarray:
     """Rasterize a polygon into a (h, w) uint8 mask (cv2.fillPoly-like):
     even-odd scanline interior fill plus the boundary itself."""
+    from sbb_textline_detection_tpu import native_bridge
+
+    if native_bridge.available() and len(np.asarray(pts)) >= 3:
+        return native_bridge.fill_polygon(pts, h, w)
     mask = np.zeros((h, w), dtype=np.uint8)
     pts = np.asarray(pts, dtype=np.float64)
     if len(pts) == 0:

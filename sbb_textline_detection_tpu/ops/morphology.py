@@ -81,6 +81,35 @@ def morph_close(img: jax.Array, kernel_size: int = 5) -> jax.Array:
 # Host (numpy)
 # ---------------------------------------------------------------------------
 
+def _binary_foreground_value(img: np.ndarray):
+    """If `img` is 2-D binary (values ⊆ {0, v}), return v; else None."""
+    if img.ndim != 2:
+        return None
+    vals = np.unique(img)
+    if vals.size == 1 and vals[0] == 0:
+        return 1
+    if vals.size <= 2 and vals[0] == 0:
+        return vals[-1]
+    if vals.size == 1:
+        return vals[0]
+    return None
+
+
+def _native_morph(img: np.ndarray, kernel_size: int, iterations: int,
+                  dilate_op: bool):
+    """Dispatch binary 2-D morphology to the native library; None if not
+    applicable (grayscale input or library unavailable)."""
+    from sbb_textline_detection_tpu import native_bridge
+
+    if not native_bridge.available():
+        return None
+    v = _binary_foreground_value(img)
+    if v is None:
+        return None
+    out = native_bridge.morph_binary(img, kernel_size, iterations, dilate_op)
+    return (out * np.asarray(v, dtype=img.dtype)).astype(img.dtype)
+
+
 def _window_reduce_host(img: np.ndarray, k: int, op, pad_value) -> np.ndarray:
     """Separable two-pass host window reduce (flat rectangular SE)."""
     pad = k // 2
@@ -100,11 +129,17 @@ def _window_reduce_host(img: np.ndarray, k: int, op, pad_value) -> np.ndarray:
 
 
 def dilate_host(img: np.ndarray, kernel_size: int = 5, iterations: int = 1) -> np.ndarray:
+    out = _native_morph(img, kernel_size, iterations, dilate_op=True)
+    if out is not None:
+        return out
     k = _effective_size(kernel_size, iterations)
     return _window_reduce_host(img, k, np.max, -np.inf).astype(img.dtype)
 
 
 def erode_host(img: np.ndarray, kernel_size: int = 5, iterations: int = 1) -> np.ndarray:
+    out = _native_morph(img, kernel_size, iterations, dilate_op=False)
+    if out is not None:
+        return out
     k = _effective_size(kernel_size, iterations)
     return _window_reduce_host(img, k, np.min, np.inf).astype(img.dtype)
 

@@ -1,0 +1,155 @@
+"""Synthetic document pages and training batches.
+
+The reference repo has no test or benchmark data (SURVEY.md §4/§6); this
+module generates page images with known layout ground truth at 300-DPI-like
+geometry, used by the benchmark harness (bench.py), the training smoke
+path, and golden-structure tests.
+
+Geometry model: a 300-DPI A4 scan is ~3508x2480 px; the pipeline's working
+resize multiplies pages >= 2500 px high by 1.2 (reference main.py:201-209),
+so working-scale text has ~35-55 px line pitch. Training patches are drawn
+at working scale because that is what the tiled models see.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class PageLayout:
+    """Ground truth for one synthetic page (scan-scale pixel coords)."""
+    printspace: Tuple[int, int, int, int]          # x0, y0, x1, y1
+    paragraphs: List[Tuple[int, int, int, int]]    # x0, y0, x1, y1 per block
+    n_lines: List[int]                             # lines per paragraph
+
+
+def make_page(rng: np.random.Generator, h: int = 3508, w: int = 2480,
+              n_columns: int | None = None) -> Tuple[np.ndarray, PageLayout]:
+    """A 300-DPI-like scanned page: light paper, dark text-line strokes in
+    1-2 columns of paragraphs, realistic margins. Returns (RGB uint8, truth).
+    """
+    paper = int(rng.integers(235, 252))
+    img = np.full((h, w, 3), paper, np.uint8)
+    # subtle scan noise
+    noise = rng.integers(-6, 7, (h // 8 + 1, w // 8 + 1, 1), np.int16)
+    noise = np.repeat(np.repeat(noise, 8, 0), 8, 1)[:h, :w]
+    img = np.clip(img.astype(np.int16) + noise, 0, 255).astype(np.uint8)
+
+    mx = int(w * rng.uniform(0.08, 0.14))          # margins
+    my = int(h * rng.uniform(0.07, 0.12))
+    ps = (mx, my, w - mx, h - my)
+    if n_columns is None:
+        n_columns = int(rng.integers(1, 3))
+    col_gap = int(w * 0.03)
+    col_w = (ps[2] - ps[0] - (n_columns - 1) * col_gap) // n_columns
+
+    line_h = int(rng.integers(22, 34))             # stroke height (scan scale)
+    pitch = line_h + int(rng.integers(14, 26))     # line pitch
+    paragraphs: List[Tuple[int, int, int, int]] = []
+    n_lines: List[int] = []
+    for ci in range(n_columns):
+        cx0 = ps[0] + ci * (col_w + col_gap)
+        y = ps[1]
+        while y + 3 * pitch < ps[3]:
+            k = int(rng.integers(3, 10))           # lines in this paragraph
+            k = min(k, (ps[3] - y) // pitch)
+            if k < 2:
+                break
+            for li in range(k):
+                ly = y + li * pitch
+                ink = int(rng.integers(15, 60))
+                x0 = cx0 + int(rng.integers(0, line_h))
+                x1 = cx0 + col_w - int(rng.integers(0, col_w // 4)
+                                       if li == k - 1 else rng.integers(0, line_h))
+                img[ly:ly + line_h, x0:x1] = ink
+                # word gaps so strokes look like text, not solid bars
+                n_gaps = max(1, (x1 - x0) // int(rng.integers(180, 400)))
+                for _ in range(n_gaps):
+                    gx = int(rng.integers(x0, max(x0 + 1, x1 - 12)))
+                    img[ly:ly + line_h, gx:gx + int(rng.integers(8, 16))] = paper
+            paragraphs.append((cx0, y, cx0 + col_w, y + k * pitch - (pitch - line_h)))
+            n_lines.append(k)
+            y += k * pitch + int(rng.integers(pitch, 3 * pitch))
+    return img, PageLayout(ps, paragraphs, n_lines)
+
+
+# ---------------------------------------------------------------------------
+# Training batches for the three pipeline roles (all at model patch scale).
+# ---------------------------------------------------------------------------
+
+def _stripes_patch(rng: np.random.Generator, h: int, w: int
+                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One working-scale patch: dark line strokes on paper. Returns
+    (image f32 [0,1], stroke mask, block mask)."""
+    paper = rng.uniform(0.9, 1.0)
+    img = np.full((h, w), paper, np.float32)
+    stroke = np.zeros((h, w), np.uint8)
+    block = np.zeros((h, w), np.uint8)
+    line_h = int(rng.integers(24, 44))
+    pitch = line_h + int(rng.integers(16, 34))
+    y = int(rng.integers(0, pitch))
+    while y + line_h < h:
+        if rng.uniform() < 0.15:                   # paragraph gap
+            y += int(rng.integers(pitch, 2 * pitch))
+            continue
+        ink = rng.uniform(0.03, 0.3)
+        x0 = int(rng.integers(0, w // 6))
+        x1 = int(rng.integers(5 * w // 6, w))
+        img[y:y + line_h, x0:x1] = ink
+        stroke[y:y + line_h, x0:x1] = 1
+        block[max(0, y - pitch + line_h):y + line_h, x0:x1] = 1
+        y += pitch
+    img3 = np.repeat(img[:, :, None], 3, axis=2)
+    return img3, stroke, block
+
+
+def textline_batch(rng: np.random.Generator, n: int, h: int, w: int
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    imgs = np.zeros((n, h, w, 3), np.float32)
+    labels = np.zeros((n, h, w), np.int32)
+    for i in range(n):
+        img, stroke, _ = _stripes_patch(rng, h, w)
+        imgs[i] = img
+        labels[i] = stroke
+    return imgs, labels
+
+
+def region_batch(rng: np.random.Generator, n: int, h: int, w: int
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+    imgs = np.zeros((n, h, w, 3), np.float32)
+    labels = np.zeros((n, h, w), np.int32)
+    for i in range(n):
+        img, _, block = _stripes_patch(rng, h, w)
+        imgs[i] = img
+        labels[i] = block
+    return imgs, labels
+
+
+def page_batch(rng: np.random.Generator, n: int, h: int, w: int
+               ) -> Tuple[np.ndarray, np.ndarray]:
+    """Whole-page task at model scale: printspace box vs margins."""
+    imgs = np.zeros((n, h, w, 3), np.float32)
+    labels = np.zeros((n, h, w), np.int32)
+    for i in range(n):
+        paper = rng.uniform(0.9, 1.0)
+        img = np.full((h, w), paper, np.float32)
+        mx = int(w * rng.uniform(0.06, 0.16))
+        my = int(h * rng.uniform(0.06, 0.14))
+        # downscaled text texture inside the printspace
+        pitch = int(rng.integers(4, 8))
+        for y in range(my, h - my - 2, pitch):
+            if rng.uniform() < 0.85:
+                img[y:y + max(1, pitch // 2),
+                    mx + 2:w - mx - int(rng.integers(2, w // 8))] = \
+                    rng.uniform(0.1, 0.5)
+        labels[i, my:h - my, mx:w - mx] = 1
+        imgs[i] = np.repeat(img[:, :, None], 3, axis=2)
+    return imgs, labels
+
+
+BATCH_FNS = {"page": page_batch, "region": region_batch,
+             "textline": textline_batch}

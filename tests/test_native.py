@@ -1,0 +1,133 @@
+"""Parity tests: native C++ geometry (native/sbb_native.cpp) vs the pure
+numpy/scipy oracles in ops/contours.py and ops/morphology.py.
+
+The native library is built on demand (make -C native); tests are skipped
+only if no C++ toolchain is available.
+"""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def nb():
+    from sbb_textline_detection_tpu import native_bridge
+    if not native_bridge.available():
+        try:
+            subprocess.run(["make", "-C", os.path.join(REPO, "native")],
+                           check=True, capture_output=True)
+        except (OSError, subprocess.CalledProcessError):
+            pytest.skip("no C++ toolchain to build libsbbnative.so")
+        native_bridge._load_attempted = False
+        if not native_bridge.available():
+            pytest.skip("libsbbnative.so failed to load")
+    return native_bridge
+
+
+RNG = np.random.default_rng(42)
+
+
+def _random_blobs(h, w, n_blobs, rng):
+    m = np.zeros((h, w), np.uint8)
+    for _ in range(n_blobs):
+        y, x = int(rng.integers(0, h)), int(rng.integers(0, w))
+        bh, bw = int(rng.integers(1, h // 2)), int(rng.integers(1, w // 2))
+        m[y:y + bh, x:x + bw] = 1
+    return m
+
+
+def test_label_components_matches_scipy(nb):
+    from sbb_textline_detection_tpu.ops import contours as cops
+    for _ in range(30):
+        m = _random_blobs(60, 80, int(RNG.integers(0, 8)), RNG)
+        ours, n1 = nb.label_components(m)
+        ref, n2 = cops.label_components(m)
+        assert n1 == n2
+        # identical partitions and identical row-major numbering
+        np.testing.assert_array_equal(ours, ref)
+
+
+def test_trace_moore_matches_python(nb):
+    from sbb_textline_detection_tpu.ops import contours as cops
+    for _ in range(30):
+        m = _random_blobs(40, 50, int(RNG.integers(1, 5)), RNG)
+        labels, n = cops.label_components(m)
+        for li in range(1, n + 1):
+            crop = (labels == li)
+            ys, xs = np.nonzero(crop)
+            order = np.lexsort((xs, ys))
+            sy, sx = int(ys[order[0]]), int(xs[order[0]])
+            ref = cops._trace_moore(crop, sy, sx)
+            ours = nb.trace_moore(crop.astype(np.uint8), sy, sx)
+            np.testing.assert_array_equal(ours, ref)
+
+
+def test_trace_moore_single_pixel(nb):
+    m = np.zeros((5, 5), np.uint8)
+    m[2, 3] = 1
+    chain = nb.trace_moore(m, 2, 3)
+    np.testing.assert_array_equal(chain, [[3, 2]])
+
+
+def test_fill_polygon_matches_python(nb):
+    from sbb_textline_detection_tpu.ops import contours as cops
+    for _ in range(20):
+        k = int(RNG.integers(3, 9))
+        pts = np.stack([RNG.uniform(0, 50, k), RNG.uniform(0, 40, k)], axis=1)
+        pts = np.round(pts)  # pipeline polygons are integer contours
+        ours = nb.fill_polygon(pts, 40, 50)
+        # python oracle (bypass the native dispatch inside fill_polygon)
+        ref = np.zeros((40, 50), np.uint8)
+        x1, y1 = pts[:, 0], pts[:, 1]
+        x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+        for y in range(0, 40):
+            cond = (y1 <= y) != (y2 <= y)
+            if not cond.any():
+                continue
+            xi = np.sort(x1[cond] + (y - y1[cond]) * (x2[cond] - x1[cond])
+                         / (y2[cond] - y1[cond]))
+            for j in range(0, len(xi) - 1, 2):
+                a, b = max(int(np.ceil(xi[j])), 0), min(int(np.floor(xi[j + 1])), 49)
+                if a <= b:
+                    ref[y, a:b + 1] = 1
+        cops._draw_boundary(ref, pts)
+        np.testing.assert_array_equal(ours, ref)
+
+
+def test_morph_binary_matches_host(nb):
+    from sbb_textline_detection_tpu.ops import morphology
+    for _ in range(20):
+        m = _random_blobs(50, 60, int(RNG.integers(0, 6)), RNG)
+        k = int(RNG.choice([3, 5, 7]))
+        it = int(RNG.integers(1, 5))
+        for dil in (True, False):
+            ours = nb.morph_binary(m, k, it, dil)
+            eff = (k - 1) * it + 1
+            ref = morphology._window_reduce_host(
+                m.astype(np.float64), eff,
+                np.max if dil else np.min,
+                -np.inf if dil else np.inf).astype(np.uint8)
+            np.testing.assert_array_equal(
+                ours, ref, err_msg=f"k={k} it={it} dilate={dil}")
+
+
+def test_find_contours_native_vs_python_paths(nb):
+    from sbb_textline_detection_tpu.ops import contours as cops
+    m = _random_blobs(80, 100, 6, RNG)
+    native = cops._find_contours_native(m != 0, simplify=True)
+    # force the python path
+    nb_mod = nb
+    old = nb_mod._lib
+    try:
+        nb_mod._lib = None
+        python = cops.find_contours(m)
+    finally:
+        nb_mod._lib = old
+    assert len(native) == len(python)
+    for a, b in zip(native, python):
+        np.testing.assert_array_equal(a, b)
