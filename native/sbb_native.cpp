@@ -291,4 +291,86 @@ void sbb_morph_binary(const uint8_t* in, int64_t h, int64_t w,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Center rotation (cv2.getRotationMatrix2D + warpAffine equivalent):
+// inverse-map sampling about (w//2, h//2), BORDER_REPLICATE, float64.
+// order: 0 = nearest, 1 = bilinear, 3 = Keys bicubic (A = -0.75) — the
+// reference uses INTER_CUBIC (main.py:159-163 upstream). Parity oracle:
+// ops/rotate.py::rotate_image_host. in/out: (h, w, c) float64, c channels
+// interleaved last.
+// ---------------------------------------------------------------------------
+
+static inline void cubic_w(double f, double* w) {
+  const double A = -0.75;
+  double x;
+  x = 1.0 + f; w[0] = ((A * x - 5.0 * A) * x + 8.0 * A) * x - 4.0 * A;
+  x = f;       w[1] = ((A + 2.0) * x - (A + 3.0)) * x * x + 1.0;
+  x = 1.0 - f; w[2] = ((A + 2.0) * x - (A + 3.0)) * x * x + 1.0;
+  x = 2.0 - f; w[3] = ((A * x - 5.0 * A) * x + 8.0 * A) * x - 4.0 * A;
+}
+
+void sbb_rotate(const double* in, int64_t h, int64_t w, int64_t c,
+                double angle_deg, int order, double* out) {
+  const double cx = static_cast<double>(w / 2);
+  const double cy = static_cast<double>(h / 2);
+  const double rad = angle_deg * 3.14159265358979323846 / 180.0;
+  const double a = std::cos(rad), b = std::sin(rad);
+  auto clampi = [](int64_t v, int64_t lo, int64_t hi) {
+    return v < lo ? lo : (v > hi ? hi : v);
+  };
+  for (int64_t y = 0; y < h; ++y) {
+    const double dy = static_cast<double>(y) - cy;
+    for (int64_t x = 0; x < w; ++x) {
+      const double dx = static_cast<double>(x) - cx;
+      const double sx = a * dx - b * dy + cx;
+      const double sy = b * dx + a * dy + cy;
+      double* o = out + (y * w + x) * c;
+      if (order == 0) {
+        int64_t iy = clampi(static_cast<int64_t>(std::nearbyint(sy)), 0, h - 1);
+        int64_t ix = clampi(static_cast<int64_t>(std::nearbyint(sx)), 0, w - 1);
+        const double* p = in + (iy * w + ix) * c;
+        for (int64_t k = 0; k < c; ++k) o[k] = p[k];
+      } else if (order == 1) {
+        double fy0 = std::floor(sy), fx0 = std::floor(sx);
+        double fy = sy - fy0, fx = sx - fx0;
+        int64_t iy = static_cast<int64_t>(fy0), ix = static_cast<int64_t>(fx0);
+        int64_t y0c = clampi(iy, 0, h - 1), y1c = clampi(iy + 1, 0, h - 1);
+        int64_t x0c = clampi(ix, 0, w - 1), x1c = clampi(ix + 1, 0, w - 1);
+        for (int64_t k = 0; k < c; ++k) {
+          double v00 = in[(y0c * w + x0c) * c + k];
+          double v01 = in[(y0c * w + x1c) * c + k];
+          double v10 = in[(y1c * w + x0c) * c + k];
+          double v11 = in[(y1c * w + x1c) * c + k];
+          o[k] = (v00 * (1 - fx) + v01 * fx) * (1 - fy) +
+                 (v10 * (1 - fx) + v11 * fx) * fy;
+        }
+      } else {  // bicubic
+        double fy0 = std::floor(sy), fx0 = std::floor(sx);
+        double fy = sy - fy0, fx = sx - fx0;
+        int64_t iy = static_cast<int64_t>(fy0), ix = static_cast<int64_t>(fx0);
+        double wy[4], wx[4];
+        cubic_w(fy, wy);
+        cubic_w(fx, wx);
+        int64_t ys[4], xs2[4];
+        for (int t = 0; t < 4; ++t) {
+          ys[t] = clampi(iy - 1 + t, 0, h - 1);
+          xs2[t] = clampi(ix - 1 + t, 0, w - 1);
+        }
+        for (int64_t k = 0; k < c; ++k) {
+          double acc = 0.0;
+          for (int t = 0; t < 4; ++t) {
+            const double* rowp = in + ys[t] * w * c;
+            double rowv = wx[0] * rowp[xs2[0] * c + k] +
+                          wx[1] * rowp[xs2[1] * c + k] +
+                          wx[2] * rowp[xs2[2] * c + k] +
+                          wx[3] * rowp[xs2[3] * c + k];
+            acc += wy[t] * rowv;
+          }
+          o[k] = acc;
+        }
+      }
+    }
+  }
+}
+
 }  // extern "C"

@@ -130,6 +130,10 @@ class RuntimeConfig:
 
     # Patch batches are padded up to the next bucket to bound recompiles.
     batch_buckets: Tuple[int, ...] = (8, 16, 32, 64, 128)
+    # Tiles per lax.map step inside the one-dispatch tiled program
+    # (bounds activation memory; the page's tile count is padded up to a
+    # multiple of this).
+    tile_chunk: int = 16
     # Model compute dtype. Params are kept fp32; matmul/conv run in bf16.
     compute_dtype: str = "bfloat16"
     # Maximum regions processed by the fixed-shape deskew sweep at once.

@@ -4,20 +4,30 @@ TPU-native replacement for the reference's `do_prediction`
 (upstream main.py:225-380). Differences by design:
 
   * the reference predicts one tile per `model.predict` call in a Python
-    loop (main.py:259-288, batch size 1); here all tiles form one padded
-    (bucketed) batch through a single jit'd forward — the MXU sees large
-    batched convs, and bucketing bounds recompiles;
+    loop (main.py:259-288, batch size 1); here the page is uploaded ONCE
+    and tiles are extracted, predicted (in fixed-size chunks under
+    `lax.map`, bounding activation memory), stitched, and post-morphed in
+    a single jit — one dispatch per page per model;
   * normalization (/255, main.py:239) and argmax (main.py:290) happen on
-    device inside the same jit, so only uint8 labels cross back to host;
-  * stitching uses ops.tiling (exact 9-case parity, see that module);
-  * whole-image mode resizes input to model geometry and the argmax label
-    map back to page size with INTER_NEAREST semantics (main.py:368-379).
+    device inside the same jit; the result crosses back to host as a 2-bit
+    packed label map (ops/pack.py) because the serving environment's
+    device->host path is far slower than host->device;
+  * stitching uses the exact 9-case seam-trimming index math of the
+    reference (ops/tiling.py), realized as statically-indexed updates;
+  * the working page is padded (white) up to a multiple of the tile stride
+    before gridding, so all pages of similar size share one compiled
+    program. The reference instead shifts edge tiles inward on the exact
+    image (main.py:276-281); the stitched label map is equivalent up to
+    prediction noise at the padded border, which is cropped away.
+  * whole-image mode resizes input to model geometry on host (small),
+    predicts once, and nearest-resizes the argmax label map back on host
+    (main.py:368-379) — no full-resolution device traffic at all.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -26,12 +36,18 @@ import numpy as np
 from sbb_textline_detection_tpu.core.config import RuntimeConfig
 from sbb_textline_detection_tpu.models import registry
 from sbb_textline_detection_tpu.models.registry import ModelSpec
+from sbb_textline_detection_tpu.ops import morphology
+from sbb_textline_detection_tpu.ops import pack as pack_ops
 from sbb_textline_detection_tpu.ops import resize as resize_ops
 from sbb_textline_detection_tpu.ops import tiling
 
+# Post-prediction morphology fused into the device program:
+# tuple of ("erode"|"dilate", kernel_size, iterations).
+MorphSpec = Tuple[Tuple[str, int, int], ...]
+
 
 class SegmentationModel:
-    """One loaded segmentation model with a cached, bucketed jit forward."""
+    """One loaded segmentation model with cached, shape-bucketed jit paths."""
 
     def __init__(self, spec: ModelSpec, variables,
                  runtime: RuntimeConfig | None = None):
@@ -39,14 +55,24 @@ class SegmentationModel:
         self.variables = variables
         self.runtime = runtime or RuntimeConfig()
         self._module = registry.build_module(spec)
+        self._tiled_cache = {}
 
-        @functools.partial(jax.jit, static_argnums=())
+        @jax.jit
         def _forward_labels(variables, batch_u8):
             x = batch_u8.astype(jnp.float32) / 255.0
             logits = self._module.apply(variables, x)
             return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
 
         self._forward_labels = _forward_labels
+
+        @jax.jit
+        def _forward_whole_packed(variables, img_u8):
+            x = img_u8[None].astype(jnp.float32) / 255.0
+            logits = self._module.apply(variables, x)
+            labels = jnp.argmax(logits[0], axis=-1).astype(jnp.uint8)
+            return pack_ops.pack2_device(labels)
+
+        self._forward_whole_packed = _forward_whole_packed
 
     # -- geometry ----------------------------------------------------------
     @property
@@ -85,19 +111,105 @@ class SegmentationModel:
 
     def predict_whole(self, img_u8: np.ndarray) -> np.ndarray:
         """Whole-image mode (main.py:368-379): resize to model size, predict,
-        argmax, nearest-resize the label map back to the input size."""
+        argmax, nearest-resize the label map back to the input size. One
+        batch-1 dispatch, 2-bit-packed transfer back."""
         h, w = img_u8.shape[:2]
         mh, mw = self.input_hw
         small = resize_ops.resize_nearest_host(img_u8, mh, mw)
-        labels = self.predict_labels(small[None])[0]
+        packed = np.asarray(
+            self._forward_whole_packed(self.variables, jnp.asarray(small)))
+        labels = pack_ops.unpack2_host(packed, (mh, mw))
         return resize_ops.resize_nearest_host(labels, h, w)
 
-    def predict_tiled(self, img_u8: np.ndarray,
-                      margin_ratio: float = 0.1) -> np.ndarray:
-        """Patch mode (main.py:231-364): overlapped grid, batched forward,
-        seam-trimmed stitch. Images smaller than the model geometry are
-        zero-padded and cropped back (the reference would raise instead and
-        rely on the caller's catch-all; we degrade gracefully)."""
+    # -- device-resident tiled path -----------------------------------------
+    def _tiled_fn(self, ny: int, nx: int, margin: int, morph: MorphSpec):
+        """Build (and cache) the one-dispatch tiled program for an (ny, nx)
+        slab grid: tile extract -> chunked forward -> slab stitch (a single
+        transpose/reshape — every output pixel lies in exactly one tile's
+        central stride x stride slab) -> fused morphology -> 2-bit pack."""
+        key = (ny, nx, margin, morph)
+        fn = self._tiled_cache.get(key)
+        if fn is not None:
+            return fn
+
+        mh, mw = self.input_hw
+        sh, sw = mh - 2 * margin, mw - 2 * margin
+        n = ny * nx
+        chunk = min(self.runtime.tile_chunk, n)
+        n_pad = ((n + chunk - 1) // chunk) * chunk
+        jj, ii = np.meshgrid(np.arange(ny), np.arange(nx), indexing="ij")
+        y0 = np.concatenate([(jj.ravel() * sh), np.zeros(n_pad - n, np.int64)])
+        x0 = np.concatenate([(ii.ravel() * sw), np.zeros(n_pad - n, np.int64)])
+        module = self._module
+
+        def fn(variables, img_u8):
+            y0a = jnp.asarray(y0, jnp.int32)
+            x0a = jnp.asarray(x0, jnp.int32)
+
+            def get_tile(yy, xx):
+                return jax.lax.dynamic_slice(img_u8, (yy, xx, 0), (mh, mw, 3))
+
+            tiles = jax.vmap(get_tile)(y0a, x0a)          # (n_pad, mh, mw, 3)
+
+            def fwd(batch):
+                x = batch.astype(jnp.float32) / 255.0
+                logits = module.apply(variables, x)
+                return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+
+            labels = jax.lax.map(
+                fwd, tiles.reshape(n_pad // chunk, chunk, mh, mw, 3))
+            labels = labels.reshape(n_pad, mh, mw)[:n]
+            slabs = labels[:, margin:margin + sh, margin:margin + sw]
+            canvas = (slabs.reshape(ny, nx, sh, sw)
+                      .transpose(0, 2, 1, 3)
+                      .reshape(ny * sh, nx * sw))
+            for op, k, it in morph:
+                if op == "erode":
+                    canvas = morphology.erode(canvas, k, it)
+                else:
+                    canvas = morphology.dilate(canvas, k, it)
+            return pack_ops.pack2_device(canvas)
+
+        fn = jax.jit(fn)
+        self._tiled_cache[key] = fn
+        return fn
+
+    def predict_tiled(self, img_u8: np.ndarray, margin_ratio: float = 0.1,
+                      morph: Optional[MorphSpec] = None) -> np.ndarray:
+        """Patch mode (main.py:231-364) in one device dispatch; `morph` ops
+        are fused after stitching (reference applies them on the host label
+        map, main.py:2074-2075 — same result, no extra round trips).
+
+        Deviation from the reference grid: the page is padded with `margin`
+        of white on the top/left and up to a stride multiple (plus margin)
+        on the bottom/right, so each output pixel is covered by exactly one
+        tile's central slab — stitching is a reshape instead of the 9-case
+        seam trim, and all similarly-sized pages share one compiled program.
+        Interior seams fall at the same stride positions as the reference;
+        only tiles touching the page border see white padding instead of
+        being shifted inward (main.py:276-281), which perturbs predictions
+        only within `margin` of the border. predict_tiled_host is the
+        reference-exact oracle."""
+        h, w = img_u8.shape[:2]
+        mh, mw = self.input_hw
+        margin = int(margin_ratio * mw)
+        sh, sw = mh - 2 * margin, mw - 2 * margin
+        ny = max(1, -(-h // sh))
+        nx = max(1, -(-w // sw))
+        img = np.pad(img_u8,
+                     ((margin, ny * sh - h + margin),
+                      (margin, nx * sw - w + margin), (0, 0)),
+                     constant_values=255)
+        fn = self._tiled_fn(ny, nx, margin, tuple(morph or ()))
+        packed = np.asarray(fn(self.variables, jnp.asarray(img)))
+        labels = pack_ops.unpack2_host(packed, (ny * sh, nx * sw))
+        return labels[:h, :w]
+
+    def predict_tiled_host(self, img_u8: np.ndarray,
+                           margin_ratio: float = 0.1) -> np.ndarray:
+        """Reference-exact host-stitched patch mode (parity oracle for
+        predict_tiled; also the fallback for images the device path cannot
+        pad — never hit in practice)."""
         h, w = img_u8.shape[:2]
         mh, mw = self.input_hw
         pad_h = max(0, mh - h)

@@ -62,6 +62,9 @@ def load() -> Optional[ctypes.CDLL]:
         lib.sbb_morph_binary.restype = None
         lib.sbb_morph_binary.argtypes = [_p_u8, _i64, _i64, _i64, _i64,
                                          ctypes.c_int, _p_u8]
+        lib.sbb_rotate.restype = None
+        lib.sbb_rotate.argtypes = [_p_f64, _i64, _i64, _i64,
+                                   ctypes.c_double, ctypes.c_int, _p_f64]
         _lib = lib
         break
     return _lib
@@ -122,6 +125,21 @@ def fill_polygon(pts: np.ndarray, h: int, w: int) -> np.ndarray:
     mask = np.empty((h, w), dtype=np.uint8)
     lib.sbb_fill_polygon(pts.reshape(-1), pts.shape[0], h, w, mask)
     return mask
+
+
+def rotate(img: np.ndarray, angle_deg: float, order: int = 3) -> np.ndarray:
+    """Center rotation with replicate border; img (h, w[, c]) float64."""
+    lib = load()
+    assert lib is not None
+    squeeze = img.ndim == 2
+    arr = np.ascontiguousarray(img, dtype=np.float64)
+    if squeeze:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    out = np.empty_like(arr)
+    lib.sbb_rotate(arr.reshape(-1), h, w, c, float(angle_deg), order,
+                   out.reshape(-1))
+    return out[:, :, 0] if squeeze else out
 
 
 def morph_binary(mask: np.ndarray, kernel: int, iterations: int,

@@ -118,7 +118,12 @@ def _cubic_weights_np(f: np.ndarray):
 def rotate_image_host(img: np.ndarray, angle_deg: float, order: int = 3) -> np.ndarray:
     """Numpy twin of `rotate_image` for variable-shape host-side work
     (per-region crops have data-dependent shapes; jitting those would
-    recompile per shape). Vectorized: 16 fancy-indexed taps for cubic."""
+    recompile per shape). Dispatches to the native library when built;
+    the numpy path (16 fancy-indexed taps for cubic) is the parity oracle."""
+    from sbb_textline_detection_tpu import native_bridge
+
+    if native_bridge.available() and order in (0, 1, 3):
+        return native_bridge.rotate(img, angle_deg, order)
     squeeze = img.ndim == 2
     if squeeze:
         img = img[..., None]

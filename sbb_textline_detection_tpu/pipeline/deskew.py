@@ -23,6 +23,11 @@ B-spline, i.e. an exact rotated projection with a slightly wider bin than
 nearest-resampling; the profile is Gaussian-smoothed (sigma=2) immediately
 after, so the angle argmax matches the reference's rotate-then-sum scoring.
 
+ALL regions of a page sweep in ONE dispatch: the (region, angle) pairs are
+flattened and processed in fixed-size chunks under `lax.map` (bounds the
+(chunk, S, S) intermediates); canvases upload once as uint8. This replaces
+both the reference's per-region Python loop and its multiprocessing layer.
+
 Scoring logic (get_standard_deviation_of_summed_textline_patch_along_width,
 main.py:1545-1599) is reproduced on device including its quirks:
   * positive peaks filtered at value > 10; their mean defines the threshold
@@ -43,12 +48,18 @@ our bucketed canvas changes peak-magnitude numerics enough that preserving
 the index quirk would *diverge* from upstream's observable output. We index
 the valid angles directly, which equals upstream behavior in the common
 all-valid case and upstream intent otherwise.
+
+Second deviation: the reference pads each region into its own
+1.4·max(h,w) canvas; the batched sweep pads all of a page's crops into one
+shared canvas bucket (downscaling only crops that exceed it). Scores are
+compared only across angles of the same region on the same canvas, so the
+argmax semantics are unchanged.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -65,47 +76,55 @@ def _hat(x):
     return jnp.maximum(0.0, 1.0 - jnp.abs(x))
 
 
-@functools.partial(jax.jit, static_argnames=("s",))
-def _radon_profiles(canvas: jax.Array, angles: jax.Array, s: int) -> jax.Array:
-    """(S, S) binary canvas + (A,) angles (deg) -> (A, S) projections."""
+@functools.partial(jax.jit, static_argnames=("s", "chunk"))
+def _radon_profiles_batched(canvases: jax.Array, angles: jax.Array,
+                            region_idx: jax.Array, angle_idx: jax.Array,
+                            s: int, chunk: int) -> jax.Array:
+    """(R, S, S) uint8 canvases + flattened (F,) (region, angle) pairs ->
+    (F, S) projections, computed in `chunk`-sized blocks (F % chunk == 0)."""
     c = float(s // 2)
     idx = jnp.arange(s, dtype=jnp.float32)
-    canvas = canvas.astype(jnp.float32)
+    canvases = canvases.astype(jnp.float32)
 
-    def one(_, ang):
-        rad = jnp.deg2rad(ang)
+    def block(pair):
+        ridx, aidx = pair
+        rad = jnp.deg2rad(angles[aidx])              # (chunk,)
         a = jnp.cos(rad)
         b = jnp.sin(rad)
-        # A[q, y] = hat(q - (a*(y-c) + c))
-        fy = a * (idx - c) + c
-        A = _hat(idx[:, None] - fy[None, :])
-        # B[u, x] = hat(u - (-b*(x-c) + s//2))
-        gx = -b * (idx - c) + float(s // 2)
-        B = _hat(idx[:, None] - gx[None, :])
-        U = A @ canvas @ B.T
-        # anti-diagonal sums via pad/reshape: G[t, k] = U[t, k - t]
+        # A[k, q, y] = hat(q - (a_k*(y-c) + c))
+        fy = a[:, None] * (idx - c) + c              # (chunk, S)
+        A = _hat(idx[None, :, None] - fy[:, None, :])
+        gx = -b[:, None] * (idx - c) + float(s // 2)
+        B = _hat(idx[None, :, None] - gx[:, None, :])
+        I = canvases[ridx]                           # (chunk, S, S)
+        U = jnp.einsum("ksy,kyx,kux->ksu", A, I, B,
+                       preferred_element_type=jnp.float32)
+        # anti-diagonal sums via pad/reshape: D[k, t] = sum_s U[k, s, t-s]
         L = 2 * s
-        W = jnp.pad(U, ((0, 0), (0, L - s)))
-        flat = W.reshape(-1)[: s * (L - 1)].reshape(s, L - 1)
-        D = flat.sum(axis=0)                      # D[k] = sum_t U[t, k-t]
-        return None, jax.lax.dynamic_slice(D, (s // 2,), (s,))
+        W = jnp.pad(U, ((0, 0), (0, 0), (0, L - s)))
+        flat = W.reshape(W.shape[0], -1)[:, : s * (L - 1)].reshape(
+            W.shape[0], s, L - 1)
+        D = flat.sum(axis=1)
+        return jax.lax.dynamic_slice_in_dim(D, s // 2, s, axis=1)
 
-    _, P = jax.lax.scan(one, None, angles)
-    return P
+    f = region_idx.shape[0]
+    P = jax.lax.map(block, (region_idx.reshape(f // chunk, chunk),
+                            angle_idx.reshape(f // chunk, chunk)))
+    return P.reshape(f, s)
 
 
 @functools.partial(jax.jit, static_argnames=("sigma", "multiplier", "pos_min"))
 def _score_profiles(P: jax.Array, sigma: float = 2.0,
                     multiplier: float = 20.3, pos_min: float = 10.0
                     ) -> Tuple[jax.Array, jax.Array]:
-    """Per-angle (valid, score) from (A, S) projections."""
-    a, s_len = P.shape
+    """Per-profile (valid, score) from (..., S) projections."""
+    s_len = P.shape[-1]
     z = profiles.gaussian_filter1d(P, sigma)
 
-    y_help = jnp.pad(P, ((0, 0), (10, 10)))
+    y_help = jnp.pad(P, [(0, 0)] * (P.ndim - 1) + [(10, 10)])
     zneg_rev = jnp.max(y_help, axis=-1, keepdims=True) - y_help
-    zneg = jnp.pad(zneg_rev, ((0, 0), (10, 10)))
-    zneg = profiles.gaussian_filter1d(zneg, sigma)      # (A, S+40)
+    zneg = jnp.pad(zneg_rev, [(0, 0)] * (P.ndim - 1) + [(10, 10)])
+    zneg = profiles.gaussian_filter1d(zneg, sigma)      # (..., S+40)
 
     pmask = profiles.peak_mask(z)
     nmask = profiles.peak_mask(zneg)
@@ -114,13 +133,13 @@ def _score_profiles(P: jax.Array, sigma: float = 2.0,
     pos_cnt = pos_sel.sum(axis=-1)
     mpp = jnp.where(pos_cnt > 0,
                     (z * pos_sel).sum(axis=-1) / jnp.maximum(pos_cnt, 1), jnp.nan)
-    grenze = mpp - mpp / multiplier                      # (A,)
+    grenze = mpp - mpp / multiplier                      # (...,)
 
     q = jnp.arange(s_len + 40) - 20                      # z-index per zneg pos
-    oob = nmask & (q[None, :] >= s_len)
+    oob = nmask & (q >= s_len)
     any_oob = oob.any(axis=-1)
     zq = jnp.take(z, q % s_len, axis=-1)                 # numpy wrap semantics
-    neg_sel = nmask & (zq < grenze[:, None])
+    neg_sel = nmask & (zq < grenze[..., None])
     neg_cnt = neg_sel.sum(axis=-1)
 
     var = jnp.std(z, axis=-1)
@@ -132,55 +151,111 @@ def _score_profiles(P: jax.Array, sigma: float = 2.0,
 
 
 class DeskewEngine:
-    """Batched deskew sweeps with canvas-size bucketing."""
+    """Batched deskew sweeps: one device dispatch for all regions of a page."""
 
     def __init__(self, cfg: DeskewConfig = DeskewConfig(),
-                 max_canvas: int = 2048):
+                 max_canvas: int = 2048, chunk: int = 8):
         self.cfg = cfg
         self.max_canvas = max_canvas
+        self.chunk = chunk
         self._coarse = np.linspace(cfg.coarse_range[0], cfg.coarse_range[1],
                                    cfg.coarse_steps).astype(np.float32)
         self._vertical = np.linspace(cfg.vertical_range[0],
                                      cfg.vertical_range[1],
                                      cfg.vertical_steps).astype(np.float32)
 
-    def _canvas(self, crop: np.ndarray) -> Tuple[np.ndarray, int]:
+    def _canvas_into(self, crop: np.ndarray, out: np.ndarray) -> None:
+        """Center `crop` (binarized, downscaled if needed) into square `out`."""
+        s = out.shape[0]
         h, w = crop.shape
         target = int(max(h, w) * self.cfg.pad_factor)
-        target = max(target, 32)
-        s = next((b for b in _BUCKETS if b >= target and b <= self.max_canvas),
-                 self.max_canvas)
         if target > s:
-            scale = s / float(target)
+            scale = s / float(max(target, 1))
             nh = max(1, int(h * scale))
             nw = max(1, int(w * scale))
             crop = resize_ops.resize_nearest_host(crop, nh, nw)
             h, w = nh, nw
-        canvas = np.zeros((s, s), dtype=np.float32)
         cp = s // 2
         y0 = cp - h // 2
         x0 = cp - w // 2
-        canvas[y0:y0 + h, x0:x0 + w] = (crop != 0).astype(np.float32)
-        return canvas, s
+        out[y0:y0 + h, x0:x0 + w] = (crop != 0)
 
-    def _sweep(self, canvas: np.ndarray, s: int, angles: np.ndarray) -> float:
-        P = _radon_profiles(jnp.asarray(canvas), jnp.asarray(angles), s)
+    def _bucket_for(self, crops: Sequence[np.ndarray]) -> int:
+        target = 32
+        for c in crops:
+            target = max(target, int(max(c.shape) * self.cfg.pad_factor))
+        return next((b for b in _BUCKETS if b >= target and
+                     b <= self.max_canvas), self.max_canvas)
+
+    def _sweep_batched(self, canvases: np.ndarray, s: int,
+                       angles: np.ndarray) -> List[float]:
+        """(R, S, S) canvases -> per-region best angle over `angles`."""
+        r = canvases.shape[0]
+        a = angles.shape[0]
+        f = r * a
+        chunk = min(self.chunk, f)
+        f_pad = ((f + chunk - 1) // chunk) * chunk
+        ridx = np.repeat(np.arange(r), a)
+        aidx = np.tile(np.arange(a), r)
+        ridx = np.concatenate([ridx, np.zeros(f_pad - f, np.int64)])
+        aidx = np.concatenate([aidx, np.zeros(f_pad - f, np.int64)])
+        P = _radon_profiles_batched(
+            jnp.asarray(canvases), jnp.asarray(angles),
+            jnp.asarray(ridx, jnp.int32), jnp.asarray(aidx, jnp.int32),
+            s, chunk)
         valid, score = _score_profiles(
             P, sigma=float(self.cfg.sigma),
             multiplier=float(self.cfg.peak_threshold_multiplier),
             pos_min=float(self.cfg.pos_peak_min_value))
-        valid = np.asarray(valid)
-        score = np.asarray(score)
-        compact = score[valid]
-        if compact.size == 0:
-            return 0.0  # upstream: argmax of empty raises -> except -> 0
-        return float(angles[valid][int(np.argmax(compact))])
+        valid = np.asarray(valid)[:f].reshape(r, a)
+        score = np.asarray(score)[:f].reshape(r, a)
+        out = []
+        for i in range(r):
+            v = valid[i]
+            if not v.any():
+                out.append(0.0)  # upstream: argmax of empty -> except -> 0
+            else:
+                out.append(float(angles[v][int(np.argmax(score[i][v]))]))
+        return out
+
+    # -- public API ----------------------------------------------------------
+    def best_angles(self, crops: Sequence[np.ndarray]) -> List[float]:
+        """Reference return_deskew_slope (main.py:1601-1718) for every region
+        of a page in one batched sweep: coarse [-25, 25]; regions whose best
+        coarse angle exceeds the trigger re-sweep [-90, -50] together."""
+        crops = list(crops)
+        if not crops:
+            return []
+        s = self._bucket_for(crops)
+        # Region count padded to a bucket: (R, S, S) is a compiled-program
+        # shape, and page region counts vary freely. Empty canvases score
+        # all-invalid -> 0.0 and are discarded.
+        r_pad = max(8, ((len(crops) + 7) // 8) * 8)
+        canvases = np.zeros((r_pad, s, s), dtype=np.uint8)
+        for i, crop in enumerate(crops):
+            self._canvas_into(crop, canvases[i])
+        angles = self._sweep_batched(canvases, s, self._coarse)[:len(crops)]
+        steep = [i for i, a in enumerate(angles)
+                 if abs(a) > self.cfg.vertical_trigger_angle]
+        if steep:
+            sub = np.zeros((max(8, ((len(steep) + 7) // 8) * 8), s, s),
+                           dtype=np.uint8)
+            sub[:len(steep)] = canvases[steep]
+            vert = self._sweep_batched(sub, s, self._vertical)
+            for i, a in zip(steep, vert):
+                angles[i] = a
+        return angles
 
     def best_angle(self, crop: np.ndarray) -> float:
-        """Reference return_deskew_slope (main.py:1601-1718): coarse sweep
-        [-25, 25]; if |angle| > 15, re-sweep [-90, -50] for vertical text."""
-        canvas, s = self._canvas(crop)
-        ang = self._sweep(canvas, s, self._coarse)
-        if abs(ang) > self.cfg.vertical_trigger_angle:
-            ang = self._sweep(canvas, s, self._vertical)
-        return ang
+        return self.best_angles([crop])[0]
+
+    # -- compatibility shims used by tests ------------------------------------
+    def _canvas(self, crop: np.ndarray) -> Tuple[np.ndarray, int]:
+        s = self._bucket_for([crop])
+        out = np.zeros((s, s), dtype=np.float32)
+        self._canvas_into(crop, out)
+        return out, s
+
+    def _sweep(self, canvas: np.ndarray, s: int, angles: np.ndarray) -> float:
+        return self._sweep_batched(canvas[None].astype(np.uint8), s,
+                                   np.asarray(angles, np.float32))[0]

@@ -20,6 +20,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
+from sbb_textline_detection_tpu.core import jaxenv
 from sbb_textline_detection_tpu.core.config import DEFAULT_CONFIG, PipelineConfig
 from sbb_textline_detection_tpu.models.runner import ModelBundle
 from sbb_textline_detection_tpu.pagexml import writer as pagexml_writer
@@ -46,6 +47,7 @@ class TextlineDetector:
 
     def __init__(self, models: ModelBundle,
                  config: PipelineConfig = DEFAULT_CONFIG):
+        jaxenv.enable_compilation_cache()
         self.models = models
         self.config = config
         self.deskew = DeskewEngine(config.deskew,

@@ -57,9 +57,12 @@ def extract_page(scaled: ScaledImage, models: ModelBundle,
     try:
         labels = models.page.predict_whole(img)
         mask = (labels != 0).astype(np.uint8) * 255
-        mask = np.asarray(morphology.dilate(
+        # Host (native) dilate: the mask was upscaled on host, and binary
+        # morphology at full page resolution is cheaper than a device round
+        # trip over the slow d2h path.
+        mask = morphology.dilate_host(
             mask, cfg.morphology.kernel_size,
-            cfg.morphology.page_dilate_iterations))
+            cfg.morphology.page_dilate_iterations)
         conts = contour_ops.find_contours(mask)
         areas = [contour_ops.polygon_area(c) for c in conts]
         best = conts[int(np.argmax(areas))]
@@ -82,14 +85,13 @@ def extract_text_regions(image_page: np.ndarray, models: ModelBundle,
     region model, then erode x3 / dilate x4 on the label map (main.py:2074-75).
     Returns the morphed (H, W) label map."""
     binarized = threshold.otsu_copy_host(image_page.astype(np.uint8))
-    labels = models.region.predict_tiled(binarized.astype(np.uint8),
-                                         cfg.tiling.margin_ratio)
     k = cfg.morphology.kernel_size
-    labels = np.asarray(morphology.erode(
-        labels, k, cfg.morphology.region_erode_iterations))
-    labels = np.asarray(morphology.dilate(
-        labels, k, cfg.morphology.region_dilate_iterations))
-    return labels
+    # The erode/dilate runs fused on device after stitching — one dispatch,
+    # one (packed) transfer back.
+    return models.region.predict_tiled(
+        binarized.astype(np.uint8), cfg.tiling.margin_ratio,
+        morph=(("erode", k, cfg.morphology.region_erode_iterations),
+               ("dilate", k, cfg.morphology.region_dilate_iterations)))
 
 
 def region_contours_and_boxes(region_labels: np.ndarray, cfg: PipelineConfig
@@ -134,16 +136,16 @@ def textline_postprocess(crop_labels: np.ndarray, slope: float,
         mask = morphology.morph_open_host(mask, k)
         mask = morphology.morph_close_host(mask, k)
 
-        rot = rotate_ops.rotate_image_host(mask.astype(np.float64), slope, order=3)
-        dst = (np.abs(rot) > 1e-3).astype(np.uint8)
-
         shifted = np.asarray(contour, dtype=np.int64).copy()
         shifted[:, 0] -= box[0]
         shifted[:, 1] -= box[1]
         raster = contour_ops.fill_polygon(shifted, box[3], box[2]) * 255
-        raster_rot = rotate_ops.rotate_image_host(raster.astype(np.float64),
-                                                  slope, order=3)
-        raster_rot = (np.abs(raster_rot) > 1e-3).astype(np.uint8)
+
+        # Both rotations share shape and slope: one 2-channel warp.
+        stacked = np.stack([mask, raster], axis=-1).astype(np.float64)
+        rot = rotate_ops.rotate_image_host(stacked, slope, order=3)
+        dst = (np.abs(rot[..., 0]) > 1e-3).astype(np.uint8)
+        raster_rot = (np.abs(rot[..., 1]) > 1e-3).astype(np.uint8)
         conts = contour_ops.find_contours(raster_rot)
         big = conts[int(np.argmax([len(c) for c in conts]))]
 
@@ -166,21 +168,22 @@ def slopes_and_lines(contours: List[np.ndarray], boxes: List[List[int]],
     is nondeterministic; input order is one valid instance)."""
     cfg = models_cfg
     engine = engine or DeskewEngine(cfg.deskew)
-    slopes: List[float] = []
-    all_lines: List[List[np.ndarray]] = []
-    for contour, box in zip(contours, boxes):
+    crops: List[np.ndarray] = []
+    for box in boxes:
         x, y, w, h = box
         crop = textline_mask[y:y + h, x:x + w]
-        crop = morphology.erode_host(
+        crops.append(morphology.erode_host(
             crop, cfg.morphology.kernel_size,
-            cfg.morphology.deskew_crop_erode_iterations)
-        try:
-            slope = engine.best_angle(crop)
-        except Exception:
-            slope = cfg.deskew.slope_sentinel
-        if abs(slope) > cfg.deskew.slope_reject_abs and slope != cfg.deskew.slope_sentinel:
-            slope = 0.0
-        elif slope == cfg.deskew.slope_sentinel:
+            cfg.morphology.deskew_crop_erode_iterations))
+    try:
+        raw_slopes = engine.best_angles(crops)
+    except Exception:
+        raw_slopes = [cfg.deskew.slope_sentinel] * len(crops)
+    slopes: List[float] = []
+    all_lines: List[List[np.ndarray]] = []
+    for crop, contour, box, slope in zip(crops, contours, boxes, raw_slopes):
+        if slope == cfg.deskew.slope_sentinel or \
+                abs(slope) > cfg.deskew.slope_reject_abs:
             slope = 0.0
         slopes.append(slope)
         all_lines.append(textline_postprocess(crop, slope, contour, box, cfg))

@@ -24,3 +24,9 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# The env-var route above is not honored by this environment's jax build;
+# enable the persistent compile cache through the config API as well.
+from sbb_textline_detection_tpu.core import jaxenv  # noqa: E402
+
+jaxenv.enable_compilation_cache()

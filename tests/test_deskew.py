@@ -108,23 +108,29 @@ def test_vertical_sweep_recovers_steep_rotation():
 
 
 def test_coarse_angle_above_threshold_triggers_vertical_sweep(monkeypatch):
-    """best_angle re-sweeps [-90,-50] when |coarse| > 15 (main.py:1669) and
-    returns the vertical result."""
+    """best_angles re-sweeps [-90,-50] for regions whose coarse result
+    exceeds the trigger (main.py:1669) and keeps the rest."""
     engine = deskew.DeskewEngine(DeskewConfig())
     calls = []
 
-    def fake_sweep(canvas, s, angles):
-        calls.append(angles)
-        return 20.0 if angles is engine._coarse else -70.0
+    def fake_sweep(canvases, s, angles):
+        calls.append((canvases.shape[0], angles))
+        if angles is engine._coarse:
+            return [20.0, 3.0, -17.0] + [0.0] * (canvases.shape[0] - 3)
+        return [-70.0] * canvases.shape[0]
 
-    monkeypatch.setattr(engine, "_sweep", fake_sweep)
-    ang = engine.best_angle(_text_mask())
-    assert ang == -70.0
+    monkeypatch.setattr(engine, "_sweep_batched", fake_sweep)
+    m = _text_mask()
+    out = engine.best_angles([m, m, m])
+    assert out == [-70.0, 3.0, -70.0]
+    # one coarse sweep, one vertical sweep (region counts pad to 8)
     assert len(calls) == 2
+    assert calls[0][1] is engine._coarse
+    assert calls[1][1] is engine._vertical
 
 
 def test_coarse_angle_below_threshold_skips_vertical_sweep(monkeypatch):
     engine = deskew.DeskewEngine(DeskewConfig())
-    monkeypatch.setattr(engine, "_sweep",
-                        lambda canvas, s, angles: 3.0)
+    monkeypatch.setattr(engine, "_sweep_batched",
+                        lambda canvases, s, angles: [3.0] * canvases.shape[0])
     assert engine.best_angle(_text_mask()) == 3.0

@@ -26,16 +26,23 @@ class FakePageModel:
 class FakeRegionModel:
     """Text class (1) on solid paragraph blocks: the real region model
     predicts block-level masks (which survive the region stage's erode x3),
-    so close the dark strokes into blocks with a generous window."""
+    so close the dark strokes into blocks with a generous window. The
+    pipeline's fused post-prediction morphology arrives via `morph` (same
+    duck-type as SegmentationModel.predict_tiled)."""
 
-    def predict_tiled(self, img, margin_ratio=0.1):
+    def predict_tiled(self, img, margin_ratio=0.1, morph=()):
         from sbb_textline_detection_tpu.ops import morphology
         dark = (img[:, :, 0] < 128).astype(np.uint8)
-        return morphology.morph_close_host(dark, 41).astype(np.uint8)
+        out = morphology.morph_close_host(dark, 41).astype(np.uint8)
+        for op, k, it in morph or ():
+            fn = (morphology.erode_host if op == "erode"
+                  else morphology.dilate_host)
+            out = fn(out, k, it)
+        return out
 
 
 class FakeTextlineModel:
-    def predict_tiled(self, img, margin_ratio=0.1):
+    def predict_tiled(self, img, margin_ratio=0.1, morph=()):
         return (img[:, :, 0] < 128).astype(np.uint8)
 
 

@@ -54,6 +54,55 @@ def test_predict_whole_and_tiled_shapes():
     assert model.predict_tiled(small).shape == (40, 40)
 
 
+class _PointwiseStub:
+    """Stand-in module whose prediction is a pure per-pixel function
+    (class = pixel > 127), so tile extraction + slab stitching + packing +
+    cropping must reproduce the thresholded image EXACTLY regardless of the
+    grid — any indexing error in the device path shows up as a diff."""
+
+    def apply(self, variables, x):
+        import jax.numpy as jnp
+        # 0.5 sits between 127/255 and 128/255 — immune to f32 rounding of
+        # the normalization, unlike a threshold of exactly 127/255.
+        b = (x[..., 0] > 0.5).astype(jnp.float32)
+        return jnp.stack([1.0 - b, b], axis=-1)
+
+
+def test_predict_tiled_slab_geometry_exact():
+    model = _tiny_model()
+    model._module = _PointwiseStub()
+    model._tiled_cache.clear()
+    rng = np.random.default_rng(5)
+    for shape in [(104, 156), (150, 131), (64, 64), (40, 40), (200, 53)]:
+        img = rng.integers(0, 255, shape + (3,)).astype(np.uint8)
+        out = model.predict_tiled(img)
+        np.testing.assert_array_equal(
+            out, (img[:, :, 0] > 127.5).astype(np.uint8), err_msg=str(shape))
+
+
+def test_predict_tiled_deterministic():
+    """Same page twice -> identical packed/unpacked output (no RNG, no
+    batch-position dependence through the chunked lax.map)."""
+    model = _tiny_model()
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 255, (104, 156, 3)).astype(np.uint8)
+    np.testing.assert_array_equal(model.predict_tiled(img),
+                                  model.predict_tiled(img))
+
+
+def test_predict_tiled_fused_morph_matches_host_morph():
+    from sbb_textline_detection_tpu.ops import morphology
+    model = _tiny_model()
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 255, (104, 104, 3)).astype(np.uint8)
+    fused = model.predict_tiled(
+        img, morph=(("erode", 3, 1), ("dilate", 3, 2)))
+    base = model.predict_tiled(img)
+    ref = morphology.dilate_host(
+        morphology.erode_host(base, 3, 1), 3, 2)
+    np.testing.assert_array_equal(fused, ref)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     variables = registry.init_variables(TINY, seed=3)
     path = str(tmp_path / "tiny.npz")

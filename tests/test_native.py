@@ -116,6 +116,35 @@ def test_morph_binary_matches_host(nb):
                 ours, ref, err_msg=f"k={k} it={it} dilate={dil}")
 
 
+def test_rotate_matches_numpy_oracle(nb):
+    from sbb_textline_detection_tpu.ops import rotate as rops
+    for _ in range(8):
+        h, w = int(RNG.integers(8, 60)), int(RNG.integers(8, 60))
+        img = RNG.uniform(0, 255, (h, w)).astype(np.float64)
+        ang = float(RNG.uniform(-90, 90))
+        for order in (0, 1, 3):
+            ours = nb.rotate(img, ang, order)
+            # numpy oracle (bypass the native dispatch)
+            old = nb._lib
+            try:
+                nb._lib = None
+                ref = rops.rotate_image_host(img, ang, order=order)
+            finally:
+                nb._lib = old
+            np.testing.assert_allclose(ours, ref, rtol=1e-10, atol=1e-9,
+                                       err_msg=f"order={order} ang={ang}")
+    # multi-channel
+    img3 = RNG.uniform(0, 255, (30, 40, 2))
+    ours = nb.rotate(img3, 12.5, 3)
+    old = nb._lib
+    try:
+        nb._lib = None
+        ref = rops.rotate_image_host(img3, 12.5, order=3)
+    finally:
+        nb._lib = old
+    np.testing.assert_allclose(ours, ref, rtol=1e-10, atol=1e-9)
+
+
 def test_find_contours_native_vs_python_paths(nb):
     from sbb_textline_detection_tpu.ops import contours as cops
     m = _random_blobs(80, 100, 6, RNG)
