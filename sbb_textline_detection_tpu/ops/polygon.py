@@ -43,8 +43,11 @@ def convex_hull(pts: np.ndarray) -> np.ndarray:
     def half(points):
         out = []
         for p in points:
-            while len(out) >= 2 and np.cross(out[-1] - out[-2],
-                                             p - out[-2]) <= 0:
+            while len(out) >= 2:
+                ax, ay = out[-1] - out[-2]
+                bx, by = p - out[-2]
+                if ax * by - ay * bx > 0:
+                    break
                 out.pop()
             out.append(p)
         return out
