@@ -60,11 +60,18 @@ def main(image, out, model, synthetic_models):
     else:
         paths = [image]
 
-    for path in paths:
+    if len(paths) > 1:
+        # Pipelined batch: device phase of page N+1 overlaps host phase of N.
         t0 = time.time()
-        xml_path = detector.run_file(path, out)
-        click.echo(f"{path} -> {xml_path}  "
-                   f"({time.time() - t0:.2f}s)")
+        for path, xml_path in zip(paths, detector.run_files(paths, out)):
+            click.echo(f"{path} -> {xml_path}  "
+                       f"({time.time() - t0:.2f}s elapsed)")
+    else:
+        for path in paths:
+            t0 = time.time()
+            xml_path = detector.run_file(path, out)
+            click.echo(f"{path} -> {xml_path}  "
+                       f"({time.time() - t0:.2f}s)")
 
 
 if __name__ == "__main__":

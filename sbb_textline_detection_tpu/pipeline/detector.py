@@ -8,7 +8,12 @@
     reference prints them, main.py:2144-2151);
   * the degrade-don't-crash contract is preserved: any failure after page
     extraction still produces a valid PAGE-XML (empty regions on total
-    failure, main.py:2152-2156).
+    failure, main.py:2152-2156);
+  * batch mode overlaps the device-bound phase of page N+1 (model
+    dispatches) with the host-bound phase of page N (contours, line
+    splitting, XML) on a prefetch thread — the reference's only
+    parallelism is a per-region multiprocessing fan-out inside one page
+    (main.py:1721-1799).
 """
 
 from __future__ import annotations
@@ -16,7 +21,8 @@ from __future__ import annotations
 import dataclasses
 import os
 import time
-from typing import Dict, List, Optional
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterable, Iterator, List, Optional, Tuple, Union
 
 import numpy as np
 
@@ -42,6 +48,19 @@ class PageResult:
         return pagexml_writer.write_page_xml(self.xml_tree, dir_out, f_name)
 
 
+@dataclasses.dataclass
+class _DeviceState:
+    """Everything produced by the device-bound phase of one page."""
+    image_filename: str
+    scaled: stages.ScaledImage
+    image_page: np.ndarray
+    page_coord: List[int]
+    cont_page: np.ndarray
+    region_labels: Optional[np.ndarray]
+    textline_mask: Optional[np.ndarray]
+    timings: Dict[str, float]
+
+
 class TextlineDetector:
     """Process-lifetime detector: holds the model bundle and deskew engine."""
 
@@ -53,18 +72,44 @@ class TextlineDetector:
         self.deskew = DeskewEngine(config.deskew,
                                    max_canvas=config.runtime.deskew_canvas)
 
-    # -- public API --------------------------------------------------------
-    def process_image(self, image: np.ndarray,
-                      image_filename: str = "") -> PageResult:
-        """Run the full cascade on an RGB uint8 page image."""
+    # -- device-bound phase --------------------------------------------------
+    def device_phase(self, image: np.ndarray,
+                     image_filename: str = "") -> _DeviceState:
+        """Scale, border-crop, and run all three model passes."""
         cfg = self.config
         t: Dict[str, float] = {}
         t0 = time.time()
-
         scaled = stages.scale_image(image, cfg)
         image_page, page_coord, cont_page = stages.extract_page(
             scaled, self.models, cfg)
         t["page_extraction"] = time.time() - t0
+
+        region_labels = None
+        textline_mask = None
+        t1 = time.time()
+        try:
+            region_labels = stages.extract_text_regions(
+                image_page, self.models, cfg)
+        except Exception:
+            region_labels = None
+        t["region_extraction_model"] = time.time() - t1
+        if region_labels is not None:
+            t2 = time.time()
+            try:
+                textline_mask = stages.textline_mask_total(
+                    image_page, self.models, cfg)
+            except Exception:
+                textline_mask = None
+            t["textlines"] = time.time() - t2
+        return _DeviceState(image_filename, scaled, image_page, page_coord,
+                            cont_page, region_labels, textline_mask, t)
+
+    # -- host-bound phase ------------------------------------------------------
+    def host_phase(self, st: _DeviceState) -> PageResult:
+        """Contours, deskew + line split, reading order, PAGE-XML."""
+        cfg = self.config
+        t = dict(st.timings)
+        t0_all = time.time()
 
         contours: List[np.ndarray] = []
         boxes: List[List[int]] = []
@@ -76,29 +121,27 @@ class TextlineDetector:
 
         try:
             t1 = time.time()
-            try:
-                region_labels = stages.extract_text_regions(
-                    image_page, self.models, cfg)
-                contours, boxes = stages.region_contours_and_boxes(
-                    region_labels, cfg)
-            except Exception:
-                contours, boxes = [], []
-            t["region_extraction"] = time.time() - t1
+            if st.region_labels is not None:
+                try:
+                    contours, boxes = stages.region_contours_and_boxes(
+                        st.region_labels, cfg)
+                except Exception:
+                    contours, boxes = [], []
+            t["region_extraction"] = (
+                st.timings.get("region_extraction_model", 0.0)
+                + time.time() - t1)
 
+            if len(contours) > 0 and st.textline_mask is None:
+                contours, boxes = [], []  # degrade: no line mask, no regions
             if len(contours) > 0:
-                t2 = time.time()
-                textline_mask = stages.textline_mask_total(
-                    image_page, self.models, cfg)
-                t["textlines"] = time.time() - t2
-
                 t3 = time.time()
                 slopes, textlines = stages.slopes_and_lines(
-                    contours, boxes, textline_mask, cfg, self.deskew)
+                    contours, boxes, st.textline_mask, cfg, self.deskew)
                 t["deskew"] = time.time() - t3
 
                 t4 = time.time()
                 indexes_sorted, matrix = order_mod.order_of_regions(
-                    textline_mask, contours, cfg.reading_order)
+                    st.textline_mask, contours, cfg.reading_order)
                 order_of_texts, id_of_texts = order_mod.order_and_id_of_texts(
                     contours, matrix, indexes_sorted)
                 t["reading_order"] = time.time() - t4
@@ -114,23 +157,57 @@ class TextlineDetector:
             textlines = []
             all_box_coord = []
 
+        scaled = st.scaled
         tree = pagexml_writer.build_page_xml(
-            image_filename=image_filename,
+            image_filename=st.image_filename,
             height_org=scaled.height_org,
             width_org=scaled.width_org,
             scale_x=scaled.scale_x,
             scale_y=scaled.scale_y,
-            cont_page=cont_page,
+            cont_page=st.cont_page,
             contours=contours,
-            page_coord=page_coord,
+            page_coord=st.page_coord,
             order_of_texts=order_of_texts,
             id_of_texts=id_of_texts,
             all_found_textline_polygons=textlines,
             all_box_coord=all_box_coord,
             cfg=cfg.pagexml,
         )
-        t["total"] = time.time() - t0
-        return PageResult(tree, contours, slopes, textlines, page_coord, t)
+        device_total = sum(st.timings.values())
+        t["total"] = device_total + (time.time() - t0_all)
+        t.pop("region_extraction_model", None)
+        return PageResult(tree, contours, slopes, textlines,
+                          st.page_coord, t)
+
+    # -- public API --------------------------------------------------------
+    def process_image(self, image: np.ndarray,
+                      image_filename: str = "") -> PageResult:
+        """Run the full cascade on an RGB uint8 page image."""
+        return self.host_phase(self.device_phase(image, image_filename))
+
+    def process_batch(self, images: Iterable[Tuple[np.ndarray, str]],
+                      prefetch: int = 1) -> Iterator[PageResult]:
+        """Pipelined batch: the device phase of upcoming pages runs on a
+        prefetch thread while this thread does host post-processing —
+        device dispatches block outside the GIL, so the single host core
+        interleaves both."""
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            pending = []
+            it = iter(images)
+            try:
+                for _ in range(max(1, prefetch)):
+                    img, name = next(it)
+                    pending.append(pool.submit(self.device_phase, img, name))
+            except StopIteration:
+                pass
+            while pending:
+                fut = pending.pop(0)
+                try:
+                    img, name = next(it)
+                    pending.append(pool.submit(self.device_phase, img, name))
+                except StopIteration:
+                    pass
+                yield self.host_phase(fut.result())
 
     def run_file(self, image_path: str, dir_out: str,
                  f_name: Optional[str] = None) -> str:
@@ -140,6 +217,15 @@ class TextlineDetector:
         image = load_image(image_path)
         result = self.process_image(image, image_filename=image_path)
         return result.write(dir_out, f_name)
+
+    def run_files(self, image_paths: Iterable[str], dir_out: str
+                  ) -> Iterator[str]:
+        """Pipelined directory mode: yields output XML paths in input order."""
+        paths = list(image_paths)
+        for path, result in zip(paths, self.process_batch(
+                ((load_image(p), p) for p in paths))):
+            f_name = os.path.splitext(os.path.basename(path))[0]
+            yield result.write(dir_out, f_name)
 
 
 def load_image(path: str) -> np.ndarray:

@@ -1,0 +1,74 @@
+"""Pipelined batch execution tests: process_batch must produce exactly the
+same results as sequential process_image, in input order."""
+
+import dataclasses
+import xml.etree.ElementTree as ET
+
+import numpy as np
+import pytest
+
+from sbb_textline_detection_tpu.core.config import (
+    DEFAULT_CONFIG, DeskewConfig, ResizePolicy, RuntimeConfig)
+from sbb_textline_detection_tpu.models.runner import ModelBundle
+from sbb_textline_detection_tpu.pipeline.detector import TextlineDetector
+
+from tests.test_detector_e2e import (
+    FakePageModel, FakeRegionModel, FakeTextlineModel, _synthetic_page)
+
+
+@pytest.fixture(scope="module")
+def detector():
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG,
+        resize=ResizePolicy(100, 840, 1.2),
+        deskew=DeskewConfig(coarse_steps=20, vertical_steps=10),
+        runtime=RuntimeConfig(deskew_canvas=256))
+    return TextlineDetector(
+        ModelBundle(FakePageModel(), FakeRegionModel(), FakeTextlineModel()),
+        cfg)
+
+
+def _pages():
+    rng = np.random.default_rng(3)
+    pages = [_synthetic_page(), _synthetic_page(600, 440),
+             np.full((400, 300, 3), 255, np.uint8)]
+    pages.append(rng.integers(0, 255, (300, 220, 3)).astype(np.uint8))
+    return pages
+
+
+def test_batch_matches_sequential(detector):
+    pages = _pages()
+    seq = [detector.process_image(p, f"p{i}.png")
+           for i, p in enumerate(pages)]
+    batched = list(detector.process_batch(
+        (p, f"p{i}.png") for i, p in enumerate(pages)))
+    assert len(batched) == len(seq)
+    for a, b in zip(seq, batched):
+        assert len(a.contours) == len(b.contours)
+        assert a.slopes == b.slopes
+        for ca, cb in zip(a.contours, b.contours):
+            np.testing.assert_array_equal(ca, cb)
+        xa = ET.tostring(a.xml_tree.getroot())
+        xb = ET.tostring(b.xml_tree.getroot())
+        # timestamps differ; compare structure without Metadata
+        import re
+        strip = lambda s: re.sub(rb"<Metadata>.*?</Metadata>", b"", s,
+                                 flags=re.S)
+        assert strip(xa) == strip(xb)
+
+
+def test_batch_empty_iterable(detector):
+    assert list(detector.process_batch(iter([]))) == []
+
+
+def test_run_files_writes_in_order(detector, tmp_path):
+    from PIL import Image
+    paths = []
+    for i, p in enumerate(_pages()[:2]):
+        f = tmp_path / f"scan_{i}.png"
+        Image.fromarray(p).save(str(f))
+        paths.append(str(f))
+    outs = list(detector.run_files(paths, str(tmp_path)))
+    assert [o.endswith(f"scan_{i}.xml") for i, o in enumerate(outs)] == [True, True]
+    for o in outs:
+        assert ET.parse(o).getroot().tag.endswith("PcGts")
