@@ -46,16 +46,41 @@ from sbb_textline_detection_tpu.ops import tiling
 MorphSpec = Tuple[Tuple[str, int, int], ...]
 
 
+def _validate_variables(module, spec: ModelSpec, variables) -> None:
+    """Fail loudly on checkpoint/architecture mismatch (a stale checkpoint
+    would otherwise surface as a caught exception deep in the pipeline and
+    silently degrade every page to an empty PAGE-XML)."""
+    expected = jax.eval_shape(
+        module.init, jax.random.PRNGKey(0),
+        jnp.zeros((1, spec.input_height, spec.input_width, 3), jnp.float32))
+    exp = {jax.tree_util.keystr(k): v.shape for k, v in
+           jax.tree_util.tree_flatten_with_path(expected)[0]}
+    got = {jax.tree_util.keystr(k): np.shape(v) for k, v in
+           jax.tree_util.tree_flatten_with_path(variables)[0]}
+    if exp != got:
+        missing = sorted(set(exp) - set(got))
+        extra = sorted(set(got) - set(exp))
+        wrong = sorted(k for k in set(exp) & set(got) if exp[k] != got[k])
+        raise ValueError(
+            f"checkpoint does not match architecture {spec.arch!r} "
+            f"(model {spec.name!r}): missing={missing[:5]} "
+            f"unexpected={extra[:5]} shape-mismatch={wrong[:5]} "
+            "— re-run the checkpoint converter / retrain")
+
+
 class SegmentationModel:
     """One loaded segmentation model with cached, shape-bucketed jit paths."""
 
     def __init__(self, spec: ModelSpec, variables,
                  runtime: RuntimeConfig | None = None):
         self.spec = spec
-        self.variables = variables
         self.runtime = runtime or RuntimeConfig()
         self._module = registry.build_module(spec)
         self._tiled_cache = {}
+        _validate_variables(self._module, spec, variables)
+        # Pin weights on device once: numpy leaves would re-upload the full
+        # parameter set on EVERY dispatch (~2.5s/call over the tunnel).
+        self.variables = jax.device_put(variables)
 
         @jax.jit
         def _forward_labels(variables, batch_u8):
