@@ -76,10 +76,12 @@ def _hat(x):
     return jnp.maximum(0.0, 1.0 - jnp.abs(x))
 
 
-@functools.partial(jax.jit, static_argnames=("s", "chunk"))
+@functools.partial(jax.jit,
+                   static_argnames=("s", "chunk", "use_pallas"))
 def _radon_profiles_batched(canvases: jax.Array, angles: jax.Array,
                             region_idx: jax.Array, angle_idx: jax.Array,
-                            s: int, chunk: int) -> jax.Array:
+                            s: int, chunk: int,
+                            use_pallas: bool = False) -> jax.Array:
     """(R, S, S) uint8 canvases + flattened (F,) (region, angle) pairs ->
     (F, S) projections, computed in `chunk`-sized blocks (F % chunk == 0)."""
     c = float(s // 2)
@@ -95,8 +97,13 @@ def _radon_profiles_batched(canvases: jax.Array, angles: jax.Array,
         fy = a[:, None] * (idx - c) + c              # (chunk, S)
         A = _hat(idx[None, :, None] - fy[:, None, :])
         gx = -b[:, None] * (idx - c) + float(s // 2)
-        B = _hat(idx[None, :, None] - gx[:, None, :])
         I = canvases[ridx]                           # (chunk, S, S)
+        if use_pallas:
+            from sbb_textline_detection_tpu.ops import pallas_radon
+            # B laid out [x, u] so the kernel computes (A I) @ B directly.
+            Bxu = _hat(idx[None, None, :] - gx[:, :, None])
+            return pallas_radon.radon_profiles_pallas(A, I, Bxu)
+        B = _hat(idx[None, :, None] - gx[:, None, :])
         U = jnp.einsum("ksy,kyx,kux->ksu", A, I, B,
                        preferred_element_type=jnp.float32)
         # anti-diagonal sums via pad/reshape: D[k, t] = sum_s U[k, s, t-s]
@@ -154,10 +161,14 @@ class DeskewEngine:
     """Batched deskew sweeps: one device dispatch for all regions of a page."""
 
     def __init__(self, cfg: DeskewConfig = DeskewConfig(),
-                 max_canvas: int = 2048, chunk: int = 8):
+                 max_canvas: int = 2048, chunk: int = 8,
+                 use_pallas: bool | None = None):
         self.cfg = cfg
         self.max_canvas = max_canvas
         self.chunk = chunk
+        # None = auto: the fused Pallas kernel on TPU (for supported canvas
+        # sizes), the XLA einsum path elsewhere.
+        self.use_pallas = use_pallas
         self._coarse = np.linspace(cfg.coarse_range[0], cfg.coarse_range[1],
                                    cfg.coarse_steps).astype(np.float32)
         self._vertical = np.linspace(cfg.vertical_range[0],
@@ -199,10 +210,16 @@ class DeskewEngine:
         aidx = np.tile(np.arange(a), r)
         ridx = np.concatenate([ridx, np.zeros(f_pad - f, np.int64)])
         aidx = np.concatenate([aidx, np.zeros(f_pad - f, np.int64)])
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            from sbb_textline_detection_tpu.ops import pallas_radon
+            import jax as _jax
+            use_pallas = (_jax.default_backend() == "tpu"
+                          and pallas_radon.supported(s))
         P = _radon_profiles_batched(
             jnp.asarray(canvases), jnp.asarray(angles),
             jnp.asarray(ridx, jnp.int32), jnp.asarray(aidx, jnp.int32),
-            s, chunk)
+            s, chunk, use_pallas=bool(use_pallas))
         valid, score = _score_profiles(
             P, sigma=float(self.cfg.sigma),
             multiplier=float(self.cfg.peak_threshold_multiplier),
