@@ -5,7 +5,10 @@ reference CLI (upstream main.py:2162-2171). Extensions over the reference:
   * `-i` may be a directory — all pages are processed as one batch with the
     models loaded once (the reference is strictly one image per process);
   * `--synthetic-models` runs with randomly initialized models (smoke tests
-    and benchmarking without checkpoint downloads).
+    and benchmarking without checkpoint downloads);
+  * `--profile DIR` wraps the run in a jax.profiler trace (TensorBoard/
+    Perfetto) — the reference's only instrumentation is stage-time prints
+    (main.py:2144-2151), which we keep as structured per-page timings.
 """
 
 from __future__ import annotations
@@ -37,9 +40,14 @@ from sbb_textline_detection_tpu.core.config import DEFAULT_CONFIG
               help="directory of models (converted .npz checkpoints)")
 @click.option("--synthetic-models", is_flag=True, default=False,
               help="use randomly initialized models (smoke/benchmark runs)")
-def main(image, out, model, synthetic_models):
+@click.option("--profile", type=click.Path(file_okay=False), default=None,
+              help="write a jax.profiler trace to this directory")
+@click.option("--timings", is_flag=True, default=False,
+              help="print the per-stage timing breakdown per page")
+def main(image, out, model, synthetic_models, profile, timings):
     from sbb_textline_detection_tpu.models.runner import ModelBundle
     from sbb_textline_detection_tpu.pipeline.detector import TextlineDetector
+    from sbb_textline_detection_tpu.utils import profiling
 
     if synthetic_models:
         models = ModelBundle.random_init(DEFAULT_CONFIG.runtime)
@@ -60,18 +68,35 @@ def main(image, out, model, synthetic_models):
     else:
         paths = [image]
 
-    if len(paths) > 1:
-        # Pipelined batch: device phase of page N+1 overlaps host phase of N.
-        t0 = time.time()
-        for path, xml_path in zip(paths, detector.run_files(paths, out)):
-            click.echo(f"{path} -> {xml_path}  "
-                       f"({time.time() - t0:.2f}s elapsed)")
-    else:
-        for path in paths:
+    with profiling.trace(profile):
+        if len(paths) > 1:
+            # Pipelined batch: device phase of page N+1 overlaps host
+            # phase of N.
             t0 = time.time()
-            xml_path = detector.run_file(path, out)
-            click.echo(f"{path} -> {xml_path}  "
-                       f"({time.time() - t0:.2f}s)")
+            from sbb_textline_detection_tpu.pipeline.detector import load_image
+            results = detector.process_batch(
+                (load_image(p), p) for p in paths)
+            for path, res in zip(paths, results):
+                f_name = os.path.splitext(os.path.basename(path))[0]
+                xml_path = res.write(out, f_name)
+                click.echo(f"{path} -> {xml_path}  "
+                           f"({time.time() - t0:.2f}s elapsed)")
+                if timings:
+                    click.echo("  " + " ".join(
+                        f"{k}={v:.2f}s" for k, v in res.timings.items()))
+        else:
+            for path in paths:
+                t0 = time.time()
+                from sbb_textline_detection_tpu.pipeline.detector import (
+                    load_image)
+                res = detector.process_image(load_image(path), path)
+                f_name = os.path.splitext(os.path.basename(path))[0]
+                xml_path = res.write(out, f_name)
+                click.echo(f"{path} -> {xml_path}  "
+                           f"({time.time() - t0:.2f}s)")
+                if timings:
+                    click.echo("  " + " ".join(
+                        f"{k}={v:.2f}s" for k, v in res.timings.items()))
 
 
 if __name__ == "__main__":

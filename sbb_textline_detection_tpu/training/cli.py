@@ -1,0 +1,109 @@
+"""Training CLI — closes the loop the reference leaves to a sibling repo
+(upstream README.md:17): train any of the three pipeline roles (or a custom
+spec) on labeled page crops or the synthetic tasks, under an SPMD
+(data, model) mesh when more than one device is present, and save a
+framework .npz checkpoint the detector loads directly.
+
+    sbb_textline_train --role textline --steps 500 --out ./models
+    sbb_textline_train --role region --images imgs/ --labels labs/ ...
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import click
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+
+@click.command()
+@click.option("--role", type=click.Choice(["page", "region", "textline"]),
+              required=True)
+@click.option("--out", "-o", required=True, type=click.Path(file_okay=False),
+              help="output checkpoint directory")
+@click.option("--images", type=click.Path(exists=True, file_okay=False),
+              default=None, help="training images directory")
+@click.option("--labels", type=click.Path(exists=True, file_okay=False),
+              default=None, help="label-map PNG directory (paired by stem)")
+@click.option("--steps", type=int, default=500)
+@click.option("--batch", type=int, default=8)
+@click.option("--lr", type=float, default=3e-4)
+@click.option("--seed", type=int, default=0)
+@click.option("--model-parallel", type=int, default=1,
+              help="model-axis size of the (data, model) mesh")
+@click.option("--log-every", type=int, default=25)
+def main(role, out, images, labels, steps, batch, lr, seed,
+         model_parallel, log_every):
+    """Train a pipeline segmentation model and save its checkpoint."""
+    from sbb_textline_detection_tpu.core import jaxenv
+    jaxenv.enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from sbb_textline_detection_tpu.core.config import DEFAULT_CONFIG
+    from sbb_textline_detection_tpu.models import checkpoint, registry
+    from sbb_textline_detection_tpu.parallel import mesh as mesh_mod
+    from sbb_textline_detection_tpu.training import data as data_mod
+    from sbb_textline_detection_tpu.training import train
+
+    spec = registry.DEFAULT_SPECS[role]
+    if (images is None) != (labels is None):
+        click.echo("--images and --labels must be given together", err=True)
+        sys.exit(2)
+    if images:
+        pairs = data_mod.list_pairs(images, labels)
+        click.echo(f"{len(pairs)} image/label pairs")
+        it = data_mod.crop_batches(pairs, batch, spec.input_height,
+                                   spec.input_width, spec.n_classes, seed)
+    else:
+        click.echo(f"synthetic '{role}' task")
+        it = data_mod.synthetic_batches(role, batch, spec.input_height,
+                                        spec.input_width, seed)
+
+    devices = jax.devices()
+    tx = train.make_optimizer(lr)
+    variables = registry.init_variables(spec, seed)
+    opt_state = jax.jit(tx.init)(variables)
+    step_fn = train.make_train_step(spec, tx)
+
+    if len(devices) > 1:
+        mesh = mesh_mod.make_mesh(devices, model_parallel=model_parallel)
+        click.echo(f"mesh: {mesh}")
+        variables = mesh_mod.shard_tree(
+            variables, mesh_mod.param_shardings(mesh, variables))
+        step_fn = jax.jit(step_fn)
+
+        def put(imgs, labs):
+            return (jax.device_put(jnp.asarray(imgs),
+                                   mesh_mod.batch_sharding(mesh)),
+                    jax.device_put(jnp.asarray(labs),
+                                   mesh_mod.label_sharding(mesh)))
+    else:
+        step_fn = jax.jit(step_fn)
+
+        def put(imgs, labs):
+            return jnp.asarray(imgs), jnp.asarray(labs)
+
+    t0 = time.time()
+    for i in range(steps):
+        imgs, labs = next(it)
+        variables, opt_state, loss = step_fn(variables, opt_state,
+                                             *put(imgs, labs))
+        if i % log_every == 0 or i == steps - 1:
+            click.echo(f"step {i}: loss {float(loss):.4f} "
+                       f"({time.time() - t0:.1f}s)")
+
+    os.makedirs(out, exist_ok=True)
+    name = getattr(DEFAULT_CONFIG.model_names, role)
+    path = checkpoint.checkpoint_path(out, name)
+    checkpoint.save(path, spec,
+                    jax.tree_util.tree_map(np.asarray, variables))
+    click.echo(f"saved {path}")
+
+
+if __name__ == "__main__":
+    main()

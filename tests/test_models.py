@@ -130,81 +130,19 @@ def test_checkpoint_path_strips_h5():
 
 @pytest.mark.slow
 def test_h5_import_fills_resnet50_unet(tmp_path):
-    """Build a synthetic Keras-layout .h5 with canonical ResNet50 + decoder
-    layer names and verify the importer fills the flax tree completely."""
-    import h5py
+    """Synthetic Keras-layout .h5 with canonical ResNet50 + decoder layer
+    names fills the flax tree completely (builder shared with the converter
+    tests, tests/h5_fixture.py)."""
     import jax
+
+    from sbb_textline_detection_tpu.models import h5_import
+    from tests.h5_fixture import build_fake_keras_h5
 
     spec = registry.ModelSpec("r50", "resnet50_unet", 64, 64, 2)
     variables = registry.init_variables(spec, seed=0)
     variables = jax.tree_util.tree_map(np.asarray, variables)
-
-    from sbb_textline_detection_tpu.models import h5_import
-
-    # Collect target shapes by walking our own tree through the name mapping.
-    params = variables["params"]
-    stats = variables["batch_stats"]
-
-    def conv_shapes(path):
-        node = params
-        for p in path:
-            node = node[p]
-        return node
-
     path = str(tmp_path / "fake.h5")
-    rng = np.random.default_rng(0)
-
-    layer_names = []
-    with h5py.File(path, "w") as f:
-        g = f.create_group("model_weights")
-
-        def add_conv(keras_name, flax_path):
-            node = conv_shapes(flax_path)
-            lg = g.create_group(keras_name)
-            names = []
-            for leaf in ("kernel", "bias"):
-                if leaf in node:
-                    wn = f"{keras_name}/{leaf}:0"
-                    lg.create_dataset(wn, data=rng.normal(size=node[leaf].shape)
-                                      .astype(np.float32))
-                    names.append(wn.encode())
-            lg.attrs["weight_names"] = names
-            layer_names.append(keras_name.encode())
-
-        def add_bn(keras_name, flax_path):
-            pnode = params
-            snode = stats
-            for p in flax_path:
-                pnode = pnode[p]
-                snode = snode[p]
-            lg = g.create_group(keras_name)
-            names = []
-            for leaf, src in (("gamma", pnode["scale"]), ("beta", pnode["bias"]),
-                              ("moving_mean", snode["mean"]),
-                              ("moving_variance", snode["var"])):
-                wn = f"{keras_name}/{leaf}:0"
-                lg.create_dataset(wn, data=rng.normal(size=src.shape)
-                                  .astype(np.float32))
-                names.append(wn.encode())
-            lg.attrs["weight_names"] = names
-            layer_names.append(keras_name.encode())
-
-        add_conv("conv1", ("conv1",))
-        add_bn("bn_conv1", ("bn_conv1", "BatchNorm_0"))
-        stages = {2: "abc", 3: "abcd", 4: "abcdef", 5: "abc"}
-        for s, blocks in stages.items():
-            for b in blocks:
-                base = f"res{s}{b}"
-                for br, (cv, bn) in h5_import._BRANCH_TO_FLAX.items():
-                    if br == "1" and b != "a":
-                        continue
-                    add_conv(f"res{s}{b}_branch{br}", (base, cv))
-                    add_bn(f"bn{s}{b}_branch{br}", (base, bn, "BatchNorm_0"))
-        for i, name in enumerate(h5_import._DECODER_CONVS):
-            add_conv(f"conv2d_{i+1}", (name,))
-        for i, name in enumerate(h5_import._DECODER_BNS):
-            add_bn(f"batch_normalization_{i+1}", (name, "BatchNorm_0"))
-        g.attrs["layer_names"] = layer_names
+    build_fake_keras_h5(path, variables, np.random.default_rng(0))
 
     out, report = h5_import.import_h5(path, variables)
     assert report.unmapped_source == []
