@@ -72,15 +72,26 @@ class SegmentationModel:
     """One loaded segmentation model with cached, shape-bucketed jit paths."""
 
     def __init__(self, spec: ModelSpec, variables,
-                 runtime: RuntimeConfig | None = None):
+                 runtime: RuntimeConfig | None = None, mesh=None):
+        """`mesh`: optional jax.sharding.Mesh with a 'data' axis — the tile
+        batch of every page shards across it inside the one-dispatch tiled
+        program (the multi-chip spatial parallelism of SURVEY §2.4: one
+        page's patch grid spread over ICI; weights replicated)."""
         self.spec = spec
         self.runtime = runtime or RuntimeConfig()
+        self.mesh = mesh
         self._module = registry.build_module(spec)
         self._tiled_cache = {}
         _validate_variables(self._module, spec, variables)
         # Pin weights on device once: numpy leaves would re-upload the full
         # parameter set on EVERY dispatch (~2.5s/call over the tunnel).
-        self.variables = jax.device_put(variables)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            rep = NamedSharding(mesh, PartitionSpec())
+            self.variables = jax.device_put(
+                variables, jax.tree_util.tree_map(lambda _: rep, variables))
+        else:
+            self.variables = jax.device_put(variables)
 
         @jax.jit
         def _forward_labels(variables, batch_u8):
@@ -161,11 +172,19 @@ class SegmentationModel:
         sh, sw = mh - 2 * margin, mw - 2 * margin
         n = ny * nx
         chunk = min(self.runtime.tile_chunk, n)
-        n_pad = ((n + chunk - 1) // chunk) * chunk
+        if self.mesh is not None:
+            # SPMD: the tile batch shards over the mesh's data axis; the
+            # whole padded batch runs as ONE forward (per-device sub-batch
+            # = n_pad / n_data tiles), weights replicated over ICI.
+            quantum = int(self.mesh.shape["data"])
+        else:
+            quantum = chunk
+        n_pad = ((n + quantum - 1) // quantum) * quantum
         jj, ii = np.meshgrid(np.arange(ny), np.arange(nx), indexing="ij")
         y0 = np.concatenate([(jj.ravel() * sh), np.zeros(n_pad - n, np.int64)])
         x0 = np.concatenate([(ii.ravel() * sw), np.zeros(n_pad - n, np.int64)])
         module = self._module
+        mesh = self.mesh
 
         def fn(variables, img_u8):
             y0a = jnp.asarray(y0, jnp.int32)
@@ -181,8 +200,16 @@ class SegmentationModel:
                 logits = module.apply(variables, x)
                 return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
 
-            labels = jax.lax.map(
-                fwd, tiles.reshape(n_pad // chunk, chunk, mh, mw, 3))
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+                tiles = jax.lax.with_sharding_constraint(
+                    tiles, NamedSharding(mesh,
+                                         PartitionSpec("data", None, None,
+                                                       None)))
+                labels = fwd(tiles)
+            else:
+                labels = jax.lax.map(
+                    fwd, tiles.reshape(n_pad // chunk, chunk, mh, mw, 3))
             labels = labels.reshape(n_pad, mh, mw)[:n]
             slabs = labels[:, margin:margin + sh, margin:margin + sw]
             canvas = (slabs.reshape(ny, nx, sh, sw)
@@ -262,7 +289,7 @@ class ModelBundle:
 
     @staticmethod
     def from_dir(model_dir: str, runtime: RuntimeConfig | None = None,
-                 model_names=None) -> "ModelBundle":
+                 model_names=None, mesh=None) -> "ModelBundle":
         from sbb_textline_detection_tpu.core.config import ModelNames
         from sbb_textline_detection_tpu.models import checkpoint
 
@@ -271,17 +298,18 @@ class ModelBundle:
         for role in ("page", "region", "textline"):
             path = checkpoint.checkpoint_path(model_dir, getattr(names, role))
             spec, variables = checkpoint.load(path)
-            models[role] = SegmentationModel(spec, variables, runtime)
+            models[role] = SegmentationModel(spec, variables, runtime,
+                                             mesh=mesh)
         return ModelBundle(**models)
 
     @staticmethod
     def random_init(runtime: RuntimeConfig | None = None, seed: int = 0,
-                    specs=None) -> "ModelBundle":
+                    specs=None, mesh=None) -> "ModelBundle":
         """Randomly initialized bundle (tests / benchmarks / smoke runs)."""
         specs = specs or registry.DEFAULT_SPECS
         models = {
             role: SegmentationModel(spec, registry.init_variables(spec, seed),
-                                    runtime)
+                                    runtime, mesh=mesh)
             for role, spec in specs.items()
         }
         return ModelBundle(**models)

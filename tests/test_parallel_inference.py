@@ -1,0 +1,61 @@
+"""SPMD inference tests on the virtual 8-device CPU mesh: the tile batch
+of one page shards across the mesh's data axis inside the one-dispatch
+tiled program (SURVEY §2.4's multi-chip spatial parallelism)."""
+
+import numpy as np
+import jax
+import pytest
+
+from sbb_textline_detection_tpu.core.config import RuntimeConfig
+from sbb_textline_detection_tpu.models import registry, runner
+from sbb_textline_detection_tpu.parallel import mesh as mesh_mod
+
+from tests.test_models import TINY, _PointwiseStub
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    devices = jax.devices()
+    if len(devices) < 8:
+        pytest.skip("needs the 8-device CPU mesh from conftest")
+    return mesh_mod.make_mesh(devices[:8], model_parallel=1)
+
+
+def test_sharded_tiled_matches_single_device_stub(mesh8):
+    """Pointwise stub network: sharded and unsharded tiled paths must be
+    bit-identical (any partition/gather error shows up as a pixel diff)."""
+    variables = registry.init_variables(TINY, seed=0)
+    rt = RuntimeConfig(batch_buckets=(2, 4, 8))
+    m_single = runner.SegmentationModel(TINY, variables, rt)
+    m_shard = runner.SegmentationModel(TINY, variables, rt, mesh=mesh8)
+    for m in (m_single, m_shard):
+        m._module = _PointwiseStub()
+        m._tiled_cache.clear()
+    rng = np.random.default_rng(0)
+    for shape in [(104, 156), (200, 53), (150, 131)]:
+        img = rng.integers(0, 255, shape + (3,)).astype(np.uint8)
+        np.testing.assert_array_equal(
+            m_shard.predict_tiled(img), m_single.predict_tiled(img),
+            err_msg=str(shape))
+        np.testing.assert_array_equal(
+            m_shard.predict_tiled(img),
+            (img[:, :, 0] > 127.5).astype(np.uint8))
+
+
+def test_sharded_tiled_real_model_runs(mesh8):
+    variables = registry.init_variables(TINY, seed=1)
+    m = runner.SegmentationModel(TINY, variables,
+                                 RuntimeConfig(batch_buckets=(2,)),
+                                 mesh=mesh8)
+    img = np.random.default_rng(2).integers(
+        0, 255, (104, 104, 3)).astype(np.uint8)
+    out = m.predict_tiled(img)
+    assert out.shape == (104, 104)
+    np.testing.assert_array_equal(out, m.predict_tiled(img))  # deterministic
+
+
+def test_bundle_accepts_mesh(mesh8):
+    bundle = runner.ModelBundle.random_init(
+        RuntimeConfig(batch_buckets=(2,)),
+        specs={"page": TINY, "region": TINY, "textline": TINY}, mesh=mesh8)
+    assert bundle.region.mesh is mesh8
