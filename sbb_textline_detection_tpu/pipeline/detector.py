@@ -19,12 +19,15 @@
 from __future__ import annotations
 
 import dataclasses
+import logging
 import os
 import time
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterable, Iterator, List, Optional, Tuple, Union
 
 import numpy as np
+
+LOG = logging.getLogger("sbb_textline_detection_tpu.detector")
 
 from sbb_textline_detection_tpu.core import jaxenv
 from sbb_textline_detection_tpu.core.config import DEFAULT_CONFIG, PipelineConfig
@@ -91,6 +94,8 @@ class TextlineDetector:
             region_labels = stages.extract_text_regions(
                 image_page, self.models, cfg)
         except Exception:
+            LOG.warning("region model failed for %s; degrading to empty "
+                        "regions", image_filename, exc_info=True)
             region_labels = None
         t["region_extraction_model"] = time.time() - t1
         if region_labels is not None:
@@ -99,6 +104,8 @@ class TextlineDetector:
                 textline_mask = stages.textline_mask_total(
                     image_page, self.models, cfg)
             except Exception:
+                LOG.warning("textline model failed for %s; degrading to "
+                            "empty regions", image_filename, exc_info=True)
                 textline_mask = None
             t["textlines"] = time.time() - t2
         return _DeviceState(image_filename, scaled, image_page, page_coord,
@@ -126,6 +133,8 @@ class TextlineDetector:
                     contours, boxes = stages.region_contours_and_boxes(
                         st.region_labels, cfg)
                 except Exception:
+                    LOG.warning("region contour extraction failed for %s",
+                                st.image_filename, exc_info=True)
                     contours, boxes = [], []
             t["region_extraction"] = (
                 st.timings.get("region_extraction_model", 0.0)
@@ -150,6 +159,10 @@ class TextlineDetector:
                 all_box_coord = [[b[1], b[1] + b[3], b[0], b[0] + b[2]]
                                  for b in boxes]
         except Exception:
+            # The reference's outermost contract: never crash, always write
+            # a valid PAGE-XML (main.py:2152-2156).
+            LOG.warning("post-processing failed for %s; writing empty "
+                        "PAGE-XML", st.image_filename, exc_info=True)
             contours = []
             order_of_texts = None
             id_of_texts = None

@@ -128,6 +128,32 @@ def _x_extent(contour: np.ndarray, xv: np.ndarray, row: float,
     return float(np.min(xvinside)), float(np.max(xvinside))
 
 
+class _ExtentCache:
+    """Batch the per-line x-extent queries of one region: every emitted
+    line samples the same contour at 1000 x positions (main.py:780-791);
+    all rows are known before the emit loop, so one vectorized
+    points-in-polygon call replaces n_lines separate ones."""
+
+    def __init__(self, contour, xv, rows, x_min_cont, x_max_cont):
+        self.fallback = (x_min_cont, x_max_cont)
+        self.extents = {}
+        rows = np.asarray(sorted(set(float(r) for r in rows)))
+        if rows.size == 0 or len(np.asarray(contour)) < 3:
+            return
+        grid_x = np.tile(xv, rows.size)
+        grid_y = np.repeat(rows, xv.size)
+        inside = contour_ops.points_in_polygon(
+            contour, grid_x, grid_y).reshape(rows.size, xv.size)
+        for i, r in enumerate(rows):
+            xs = xv[inside[i]]
+            self.extents[float(r)] = (
+                (float(xs.min()), float(xs.max())) if xs.size
+                else self.fallback)
+
+    def get(self, row: float):
+        return self.extents.get(float(row), self.fallback)
+
+
 def _rot_box(rotation_matrix, x_d, y_d, corners):
     """Rotate 4 corner points back into the page frame (main.py:793-815),
     clamping x_min_rot1/x_min_rot4/point_up_rot1/point_up_rot2 at 0."""
@@ -205,10 +231,12 @@ def separate_lines(img_patch: np.ndarray, contour: np.ndarray, theta: float,
     boxes_rot = []
     first_nonzero = 0
     strong = lambda jj: peaks_values[jj] > mean_peaks - std_peaks / 2.0
+    extents = _ExtentCache(contour, xv,
+                           [float(p + first_nonzero) for p in peaks],
+                           x_min_cont, x_max_cont)
 
     def emit(jj, point_up, point_down):
-        x_min, x_max = _x_extent(contour, xv, float(peaks[jj] + first_nonzero),
-                                 x_min_cont, x_max_cont)
+        x_min, x_max = extents.get(float(peaks[jj] + first_nonzero))
         if vertical:
             corners = [(point_up, y_min_cont), (point_down, y_min_cont),
                        (point_down, y_max_cont), (point_up, y_max_cont)]
