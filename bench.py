@@ -101,8 +101,11 @@ def main() -> None:
     detector = TextlineDetector(models, DEFAULT_CONFIG)
 
     rng = np.random.default_rng(7)
-    pages = [synthetic.make_page(rng, args.page_height, args.page_width)[0]
-             for _ in range(args.pages)]
+    pages_layouts = [synthetic.make_page(rng, args.page_height,
+                                         args.page_width)
+                     for _ in range(args.pages)]
+    pages = [p for p, _ in pages_layouts]
+    layouts = [l for _, l in pages_layouts]
 
     # Warm-up pass over every page: compiles each distinct crop-shape
     # variant once (persisted to the XLA compile cache for later runs);
@@ -116,19 +119,24 @@ def main() -> None:
     # Timed pass uses the pipelined batch executor (the product's
     # directory/batch mode): device phase of page N+1 overlaps host phase
     # of page N. Per-page latency comes from the per-stage timers.
+    from sbb_textline_detection_tpu.training import eval as eval_mod
+
     stage_sums: dict = {}
     regions = lines = 0
     lat = []
+    scores = []
     t_start = time.time()
     for i, res in enumerate(detector.process_batch(
             (p, f"bench_{i}.png") for i, p in enumerate(pages))):
         regions += len(res.contours)
         lines += sum(len(t) for t in res.textlines)
         lat.append(res.timings["total"])
+        scores.append(eval_mod.evaluate_layout(res, layouts[i]))
         for k, v in res.timings.items():
             stage_sums[k] = stage_sums.get(k, 0.0) + v
         _log(f"[bench] page {i}: {res.timings['total']:.2f}s "
-             f"({len(res.contours)} regions)")
+             f"({len(res.contours)} regions, "
+             f"recall {scores[-1].region_recall:.2f})")
     total = time.time() - t_start
 
     pages_per_sec = len(pages) / total
@@ -142,6 +150,14 @@ def main() -> None:
         "pages": len(pages),
         "regions_total": regions,
         "lines_total": lines,
+        "quality": {
+            "region_recall": round(float(np.mean(
+                [s.region_recall for s in scores])), 3),
+            "region_precision": round(float(np.nanmean(
+                [s.region_precision for s in scores])), 3),
+            "line_count_mae": round(float(np.nanmean(
+                [s.line_count_mae for s in scores])), 3),
+        },
         "stage_seconds_per_page": {
             k: round(v / len(pages), 3) for k, v in sorted(stage_sums.items())},
     }
