@@ -84,7 +84,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", type=int, default=4,
                     help="number of timed pages")
-    ap.add_argument("--train-steps", type=int, default=120)
+    ap.add_argument("--train-steps", type=int, default=250)
     ap.add_argument("--ckpt-dir", default=_CKPT_CACHE)
     ap.add_argument("--page-height", type=int, default=3508)
     ap.add_argument("--page-width", type=int, default=2480)

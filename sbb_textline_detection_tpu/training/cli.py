@@ -36,8 +36,12 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 @click.option("--model-parallel", type=int, default=1,
               help="model-axis size of the (data, model) mesh")
 @click.option("--log-every", type=int, default=25)
+@click.option("--save-every", type=int, default=0,
+              help="also checkpoint every N steps (resumable)")
+@click.option("--resume", is_flag=True, default=False,
+              help="resume from the checkpoint in --out if present")
 def main(role, out, images, labels, steps, batch, lr, seed,
-         model_parallel, log_every):
+         model_parallel, log_every, save_every, resume):
     """Train a pipeline segmentation model and save its checkpoint."""
     from sbb_textline_detection_tpu.core import jaxenv
     jaxenv.enable_compilation_cache()
@@ -66,7 +70,16 @@ def main(role, out, images, labels, steps, batch, lr, seed,
 
     devices = jax.devices()
     tx = train.make_optimizer(lr)
-    variables = registry.init_variables(spec, seed)
+    name = getattr(DEFAULT_CONFIG.model_names, role)
+    ckpt_path = checkpoint.checkpoint_path(out, name)
+    if resume and os.path.exists(ckpt_path):
+        loaded_spec, variables = checkpoint.load(ckpt_path)
+        if loaded_spec != spec:
+            click.echo(f"checkpoint spec {loaded_spec} != {spec}", err=True)
+            sys.exit(2)
+        click.echo(f"resumed from {ckpt_path}")
+    else:
+        variables = registry.init_variables(spec, seed)
     opt_state = jax.jit(tx.init)(variables)
     step_fn = train.make_train_step(spec, tx)
 
@@ -88,6 +101,12 @@ def main(role, out, images, labels, steps, batch, lr, seed,
         def put(imgs, labs):
             return jnp.asarray(imgs), jnp.asarray(labs)
 
+    os.makedirs(out, exist_ok=True)
+
+    def save():
+        checkpoint.save(ckpt_path, spec,
+                        jax.tree_util.tree_map(np.asarray, variables))
+
     t0 = time.time()
     for i in range(steps):
         imgs, labs = next(it)
@@ -96,13 +115,12 @@ def main(role, out, images, labels, steps, batch, lr, seed,
         if i % log_every == 0 or i == steps - 1:
             click.echo(f"step {i}: loss {float(loss):.4f} "
                        f"({time.time() - t0:.1f}s)")
+        if save_every and (i + 1) % save_every == 0:
+            save()
+            click.echo(f"checkpointed at step {i + 1}")
 
-    os.makedirs(out, exist_ok=True)
-    name = getattr(DEFAULT_CONFIG.model_names, role)
-    path = checkpoint.checkpoint_path(out, name)
-    checkpoint.save(path, spec,
-                    jax.tree_util.tree_map(np.asarray, variables))
-    click.echo(f"saved {path}")
+    save()
+    click.echo(f"saved {ckpt_path}")
 
 
 if __name__ == "__main__":

@@ -83,8 +83,13 @@ def make_page(rng: np.random.Generator, h: int = 3508, w: int = 2480,
 
 def _stripes_patch(rng: np.random.Generator, h: int, w: int
                    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """One working-scale patch: dark line strokes on paper. Returns
-    (image f32 [0,1], stroke mask, block mask)."""
+    """One working-scale patch: dark line strokes on paper, organized in
+    explicit paragraphs. Returns (image f32 [0,1], stroke mask, block mask).
+
+    The block mask hugs each paragraph exactly and paragraph gaps are
+    always >= ~1.8x the line pitch minus a line — the region model must
+    learn to SPLIT at paragraph gaps, not bridge them (a bridging bias
+    merges adjacent paragraphs at page scale and caps region recall)."""
     paper = rng.uniform(0.9, 1.0)
     img = np.full((h, w), paper, np.float32)
     stroke = np.zeros((h, w), np.uint8)
@@ -93,16 +98,25 @@ def _stripes_patch(rng: np.random.Generator, h: int, w: int
     pitch = line_h + int(rng.integers(16, 34))
     y = int(rng.integers(0, pitch))
     while y + line_h < h:
-        if rng.uniform() < 0.15:                   # paragraph gap
-            y += int(rng.integers(pitch, 2 * pitch))
-            continue
+        k = int(rng.integers(1, 7))                # lines in this paragraph
         ink = rng.uniform(0.03, 0.3)
         x0 = int(rng.integers(0, w // 6))
         x1 = int(rng.integers(5 * w // 6, w))
-        img[y:y + line_h, x0:x1] = ink
-        stroke[y:y + line_h, x0:x1] = 1
-        block[max(0, y - pitch + line_h):y + line_h, x0:x1] = 1
-        y += pitch
+        top = y
+        drawn = 0
+        for _ in range(k):
+            if y + line_h >= h:
+                break
+            img[y:y + line_h, x0:x1] = ink
+            stroke[y:y + line_h, x0:x1] = 1
+            y += pitch
+            drawn += 1
+        if drawn == 0:
+            break
+        bottom = y - pitch + line_h
+        block[top:bottom, x0:x1] = 1
+        # paragraph gap: clearly larger than the inter-line gap
+        y += int(rng.integers(int(0.8 * pitch), int(2.2 * pitch)))
     img3 = np.repeat(img[:, :, None], 3, axis=2)
     return img3, stroke, block
 
@@ -131,7 +145,12 @@ def region_batch(rng: np.random.Generator, n: int, h: int, w: int
 
 def page_batch(rng: np.random.Generator, n: int, h: int, w: int
                ) -> Tuple[np.ndarray, np.ndarray]:
-    """Whole-page task at model scale: printspace box vs margins."""
+    """Whole-page task at model scale: printspace box vs margins.
+
+    Textures are drawn in 1-2 columns while the label stays the SOLID
+    printspace box: the model must bridge column gaps (and paragraph
+    gaps), or the downstream largest-component border crop keeps a single
+    column and silently drops the rest of the page."""
     imgs = np.zeros((n, h, w, 3), np.float32)
     labels = np.zeros((n, h, w), np.int32)
     for i in range(n):
@@ -139,13 +158,17 @@ def page_batch(rng: np.random.Generator, n: int, h: int, w: int
         img = np.full((h, w), paper, np.float32)
         mx = int(w * rng.uniform(0.06, 0.16))
         my = int(h * rng.uniform(0.06, 0.14))
-        # downscaled text texture inside the printspace
+        n_cols = int(rng.integers(1, 3))
+        gap = int(w * 0.03)
+        col_w = (w - 2 * mx - (n_cols - 1) * gap) // n_cols
         pitch = int(rng.integers(4, 8))
-        for y in range(my, h - my - 2, pitch):
-            if rng.uniform() < 0.85:
-                img[y:y + max(1, pitch // 2),
-                    mx + 2:w - mx - int(rng.integers(2, w // 8))] = \
-                    rng.uniform(0.1, 0.5)
+        for ci in range(n_cols):
+            cx0 = mx + ci * (col_w + gap)
+            for y in range(my, h - my - 2, pitch):
+                if rng.uniform() < 0.85:
+                    img[y:y + max(1, pitch // 2),
+                        cx0 + 1:cx0 + col_w - int(rng.integers(1, col_w // 5))
+                        ] = rng.uniform(0.1, 0.5)
         labels[i, my:h - my, mx:w - mx] = 1
         imgs[i] = np.repeat(img[:, :, None], 3, axis=2)
     return imgs, labels

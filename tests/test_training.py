@@ -84,6 +84,28 @@ def test_list_pairs_requires_matches(tmp_path):
 
 
 @pytest.mark.slow
+def test_training_cli_resume(tmp_path, monkeypatch):
+    """--save-every writes mid-run checkpoints; --resume restarts from the
+    saved weights (spec-checked)."""
+    from click.testing import CliRunner
+
+    from sbb_textline_detection_tpu.models import registry as reg
+    monkeypatch.setitem(
+        reg.DEFAULT_SPECS, "page",
+        registry.ModelSpec("model_page_mixed_best", "tpu_unet", 32, 32, 2,
+                           widths=(8, 16)))
+    from sbb_textline_detection_tpu.training import cli as tcli
+    args = ["--role", "page", "--out", str(tmp_path), "--steps", "3",
+            "--batch", "4", "--save-every", "2", "--log-every", "1"]
+    res = CliRunner().invoke(tcli.main, args)
+    assert res.exit_code == 0, res.output
+    assert "checkpointed at step 2" in res.output
+    res2 = CliRunner().invoke(tcli.main, args + ["--resume"])
+    assert res2.exit_code == 0, res2.output
+    assert "resumed from" in res2.output
+
+
+@pytest.mark.slow
 def test_training_cli_synthetic(tmp_path, monkeypatch):
     """CLI smoke: a few synthetic steps on the 8-device CPU mesh, then the
     checkpoint loads into a SegmentationModel."""
