@@ -136,18 +136,22 @@ def textline_postprocess(crop_labels: np.ndarray, slope: float,
         mask = morphology.morph_open_host(mask, k)
         mask = morphology.morph_close_host(mask, k)
 
-        shifted = np.asarray(contour, dtype=np.int64).copy()
+        rot = rotate_ops.rotate_image_host(mask.astype(np.float64), slope,
+                                           order=3)
+        dst = (np.abs(rot) > 1e-3).astype(np.uint8)
+
+        # The reference rasterizes the region contour, warps the raster,
+        # and re-traces its longest boundary (main.py:1498-1511) — only to
+        # obtain the rotated region polygon. Rotating the contour POINTS
+        # through the same affine is geometrically equivalent (within the
+        # 1px the warp+binarize+trace round trip wobbles) and skips a
+        # full-crop bicubic warp + scanline fill + boundary trace per
+        # region (DEVIATIONS.md).
+        shifted = np.asarray(contour, dtype=np.float64).copy()
         shifted[:, 0] -= box[0]
         shifted[:, 1] -= box[1]
-        raster = contour_ops.fill_polygon(shifted, box[3], box[2]) * 255
-
-        # Both rotations share shape and slope: one 2-channel warp.
-        stacked = np.stack([mask, raster], axis=-1).astype(np.float64)
-        rot = rotate_ops.rotate_image_host(stacked, slope, order=3)
-        dst = (np.abs(rot[..., 0]) > 1e-3).astype(np.uint8)
-        raster_rot = (np.abs(rot[..., 1]) > 1e-3).astype(np.uint8)
-        conts = contour_ops.find_contours(raster_rot)
-        big = conts[int(np.argmax([len(c) for c in conts]))]
+        M = rotate_ops.rotation_matrix_host(slope, box[2], box[3])
+        big = shifted @ M[:, :2].T + M[:, 2]
 
         vertical = abs(slope) > cfg.deskew.vertical_line_split_abs
         _, boxes_rot = lines_mod.separate_lines(
