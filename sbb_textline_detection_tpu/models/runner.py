@@ -158,12 +158,13 @@ class SegmentationModel:
         return resize_ops.resize_nearest_host(labels, h, w)
 
     # -- device-resident tiled path -----------------------------------------
-    def _tiled_fn(self, ny: int, nx: int, margin: int, morph: MorphSpec):
+    def _tiled_fn(self, ny: int, nx: int, margin: int, morph: MorphSpec,
+                  pre_otsu_hw: Optional[Tuple[int, int]] = None):
         """Build (and cache) the one-dispatch tiled program for an (ny, nx)
         slab grid: tile extract -> chunked forward -> slab stitch (a single
         transpose/reshape — every output pixel lies in exactly one tile's
         central stride x stride slab) -> fused morphology -> 2-bit pack."""
-        key = (ny, nx, margin, morph)
+        key = (ny, nx, margin, morph, pre_otsu_hw)
         fn = self._tiled_cache.get(key)
         if fn is not None:
             return fn
@@ -187,6 +188,18 @@ class SegmentationModel:
         mesh = self.mesh
 
         def fn(variables, img_u8):
+            if pre_otsu_hw is not None:
+                # Reference otsu_copy (main.py:178-194) fused on device:
+                # the threshold histogram is computed over the ORIGINAL
+                # (unpadded) page slice, exactly the scope the reference
+                # sees; the white padding binarizes to white either way.
+                from sbb_textline_detection_tpu.ops import threshold
+                oh, ow = pre_otsu_hw
+                t = threshold.otsu_threshold(
+                    img_u8[margin:margin + oh, margin:margin + ow, 0])
+                ch0 = jnp.where(img_u8[..., 0].astype(jnp.int32) > t,
+                                jnp.uint8(255), jnp.uint8(0))
+                img_u8 = jnp.repeat(ch0[..., None], 3, axis=-1)
             y0a = jnp.asarray(y0, jnp.int32)
             x0a = jnp.asarray(x0, jnp.int32)
 
@@ -227,7 +240,8 @@ class SegmentationModel:
         return fn
 
     def predict_tiled(self, img_u8: np.ndarray, margin_ratio: float = 0.1,
-                      morph: Optional[MorphSpec] = None) -> np.ndarray:
+                      morph: Optional[MorphSpec] = None,
+                      pre_otsu: bool = False) -> np.ndarray:
         """Patch mode (main.py:231-364) in one device dispatch; `morph` ops
         are fused after stitching (reference applies them on the host label
         map, main.py:2074-2075 — same result, no extra round trips).
@@ -252,7 +266,8 @@ class SegmentationModel:
                      ((margin, ny * sh - h + margin),
                       (margin, nx * sw - w + margin), (0, 0)),
                      constant_values=255)
-        fn = self._tiled_fn(ny, nx, margin, tuple(morph or ()))
+        fn = self._tiled_fn(ny, nx, margin, tuple(morph or ()),
+                            pre_otsu_hw=(h, w) if pre_otsu else None)
         packed = np.asarray(fn(self.variables, jnp.asarray(img)))
         labels = pack_ops.unpack2_host(packed, (ny * sh, nx * sw))
         return labels[:h, :w]

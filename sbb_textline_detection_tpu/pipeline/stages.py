@@ -84,14 +84,23 @@ def extract_text_regions(image_page: np.ndarray, models: ModelBundle,
     """Region segmentation (main.py:439-454): channel-0 Otsu copy, patch-mode
     region model, then erode x3 / dilate x4 on the label map (main.py:2074-75).
     Returns the morphed (H, W) label map."""
-    binarized = threshold.otsu_copy_host(image_page.astype(np.uint8))
     k = cfg.morphology.kernel_size
-    # The erode/dilate runs fused on device after stitching — one dispatch,
-    # one (packed) transfer back.
-    return models.region.predict_tiled(
-        binarized.astype(np.uint8), cfg.tiling.margin_ratio,
-        morph=(("erode", k, cfg.morphology.region_erode_iterations),
-               ("dilate", k, cfg.morphology.region_dilate_iterations)))
+    # Otsu binarization (pre) and erode/dilate (post) run fused on device
+    # around the tiled forward — one dispatch, one (packed) transfer back.
+    try:
+        return models.region.predict_tiled(
+            image_page.astype(np.uint8), cfg.tiling.margin_ratio,
+            morph=(("erode", k, cfg.morphology.region_erode_iterations),
+                   ("dilate", k, cfg.morphology.region_dilate_iterations)),
+            pre_otsu=True)
+    except TypeError:
+        # duck-typed model without the pre_otsu extension (tests/users):
+        # binarize on host (reference otsu_copy, main.py:178-194).
+        binarized = threshold.otsu_copy_host(image_page.astype(np.uint8))
+        return models.region.predict_tiled(
+            binarized.astype(np.uint8), cfg.tiling.margin_ratio,
+            morph=(("erode", k, cfg.morphology.region_erode_iterations),
+                   ("dilate", k, cfg.morphology.region_dilate_iterations)))
 
 
 def region_contours_and_boxes(region_labels: np.ndarray, cfg: PipelineConfig

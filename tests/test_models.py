@@ -90,6 +90,23 @@ def test_predict_tiled_deterministic():
                                   model.predict_tiled(img))
 
 
+def test_predict_tiled_fused_otsu_matches_host_otsu():
+    """pre_otsu=True must binarize exactly like the host otsu_copy
+    (threshold over the unpadded page) before the forward; with the
+    pointwise stub the output IS the binarization."""
+    from sbb_textline_detection_tpu.ops import threshold
+    model = _tiny_model()
+    model._module = _PointwiseStub()
+    model._tiled_cache.clear()
+    rng = np.random.default_rng(7)
+    # bimodal page-like values so the otsu threshold is meaningful
+    img = np.where(rng.uniform(size=(104, 156, 3)) < 0.3, 40, 230
+                   ).astype(np.uint8)
+    out = model.predict_tiled(img, pre_otsu=True)
+    ref = (threshold.otsu_copy_host(img)[:, :, 0] > 127.5).astype(np.uint8)
+    np.testing.assert_array_equal(out, ref)
+
+
 def test_predict_tiled_fused_morph_matches_host_morph():
     from sbb_textline_detection_tpu.ops import morphology
     model = _tiny_model()
