@@ -82,9 +82,11 @@ def ensure_bench_checkpoints(ckpt_dir: str, steps: int, seed: int = 0) -> str:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pages", type=int, default=4,
+    ap.add_argument("--pages", type=int,
+                    default=int(os.environ.get("SBB_BENCH_PAGES", 4)),
                     help="number of timed pages")
-    ap.add_argument("--train-steps", type=int, default=250)
+    ap.add_argument("--train-steps", type=int,
+                    default=int(os.environ.get("SBB_BENCH_TRAIN_STEPS", 150)))
     ap.add_argument("--ckpt-dir", default=_CKPT_CACHE)
     ap.add_argument("--page-height", type=int, default=3508)
     ap.add_argument("--page-width", type=int, default=2480)
