@@ -86,8 +86,9 @@ class LineSplitConfig:
     weak_down: float = 1.33
     last_strong_up: float = 1.3
     last_weak_up: float = 1.4
-    narrow_down: float = 1.1
-    last_narrow_down: float = 1.4
+    # NB: the reference also computes `point_down_narrow` variants
+    # (main.py:756/771), but they feed only the unconsumed textline_boxes
+    # output — deliberately not modeled here.
     # Generic / 2-peak case divisors (main.py:868-943):
     two_peak_div: float = 1.8
     generic_div: float = 1.9

@@ -143,12 +143,20 @@ def merge_detection_into_page(target_root: ET.Element,
     new_border = None
     if d_border is not None:
         new_border = _adapt(_retag(d_border, ns), page_frame, transform)
+    # PAGE schema child order for Page is AlternativeImage*, Border?,
+    # PrintSpace?, ReadingOrder?, ... — OCR-D workspaces routinely carry
+    # leading AlternativeImage children (e.g. after binarization), so the
+    # insertion point is after them, not at index 0.
+    head = 0
+    for child in list(t_page):
+        if child.tag.split("}")[-1] == "AlternativeImage":
+            head += 1
+        else:
+            break
     if new_border is None:
         LOG.warning("new border would be empty, skipping")
     else:
-        # PAGE schema order: Border right after Metadata-ish head elements;
-        # insert before any region elements.
-        t_page.insert(0, new_border)
+        t_page.insert(head, new_border)
 
     # 2. ReadingOrder (ocrd_cli.py:102-105)
     if find_child(t_page, "ReadingOrder") is not None:
@@ -156,7 +164,12 @@ def merge_detection_into_page(target_root: ET.Element,
         t_page.remove(find_child(t_page, "ReadingOrder"))
     d_order = find_child(d_page, "ReadingOrder")
     if d_order is not None:
-        idx = 1 if new_border is not None else 0
+        idx = head + (1 if new_border is not None else 0)
+        # PrintSpace (if present) sits between Border and ReadingOrder.
+        children = list(t_page)
+        if idx < len(children) and \
+                children[idx].tag.split("}")[-1] == "PrintSpace":
+            idx += 1
         t_page.insert(idx, _retag(d_order, ns))
 
     # 3. TextRegions + nested TextLines (ocrd_cli.py:107-129)

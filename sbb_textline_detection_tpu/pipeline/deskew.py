@@ -23,10 +23,12 @@ B-spline, i.e. an exact rotated projection with a slightly wider bin than
 nearest-resampling; the profile is Gaussian-smoothed (sigma=2) immediately
 after, so the angle argmax matches the reference's rotate-then-sum scoring.
 
-ALL regions of a page sweep in ONE dispatch: the (region, angle) pairs are
-flattened and processed in fixed-size chunks under `lax.map` (bounds the
-(chunk, S, S) intermediates); canvases upload once as uint8. This replaces
-both the reference's per-region Python loop and its multiprocessing layer.
+Regions sweep in fixed `region_batch`-sized groups (one dispatch per group,
+one compiled shape per canvas bucket, HBM bounded); within a group the
+(region, angle) pairs are flattened and processed in fixed-size chunks under
+`lax.map` (bounds the (chunk, S, S) intermediates); canvases upload as
+uint8. This replaces both the reference's per-region Python loop and its
+multiprocessing layer.
 
 Scoring logic (get_standard_deviation_of_summed_textline_patch_along_width,
 main.py:1545-1599) is reproduced on device including its quirks:
@@ -162,10 +164,15 @@ class DeskewEngine:
 
     def __init__(self, cfg: DeskewConfig = DeskewConfig(),
                  max_canvas: int = 2048, chunk: int = 8,
-                 use_pallas: bool | None = None):
+                 use_pallas: bool | None = None, region_batch: int = 8):
         self.cfg = cfg
         self.max_canvas = max_canvas
         self.chunk = chunk
+        # Regions sweep in fixed-size groups: one compiled (B, S, S) program
+        # per canvas bucket and bounded HBM (4·B·S² bytes for the float32
+        # canvases) regardless of how many regions a page has — dense
+        # newspaper pages routinely carry 100+.
+        self.region_batch = max(1, region_batch)
         # None = auto: the fused Pallas kernel on TPU (for supported canvas
         # sizes), the XLA einsum path elsewhere.
         self.use_pallas = use_pallas
@@ -244,24 +251,35 @@ class DeskewEngine:
         if not crops:
             return []
         s = self._bucket_for(crops)
-        # Region count padded to a bucket: (R, S, S) is a compiled-program
-        # shape, and page region counts vary freely. Empty canvases score
+        # Regions are processed in fixed region_batch-sized groups: (B, S, S)
+        # is the only compiled shape per canvas bucket, and HBM stays bounded
+        # however many regions the page has. Empty canvas slots score
         # all-invalid -> 0.0 and are discarded.
-        r_pad = max(8, ((len(crops) + 7) // 8) * 8)
-        canvases = np.zeros((r_pad, s, s), dtype=np.uint8)
-        for i, crop in enumerate(crops):
-            self._canvas_into(crop, canvases[i])
-        angles = self._sweep_batched(canvases, s, self._coarse)[:len(crops)]
+        angles = self._sweep_grouped(
+            crops, s, self._coarse,
+            render=lambda crop, out: self._canvas_into(crop, out))
         steep = [i for i, a in enumerate(angles)
                  if abs(a) > self.cfg.vertical_trigger_angle]
         if steep:
-            sub = np.zeros((max(8, ((len(steep) + 7) // 8) * 8), s, s),
-                           dtype=np.uint8)
-            sub[:len(steep)] = canvases[steep]
-            vert = self._sweep_batched(sub, s, self._vertical)
+            vert = self._sweep_grouped(
+                [crops[i] for i in steep], s, self._vertical,
+                render=lambda crop, out: self._canvas_into(crop, out))
             for i, a in zip(steep, vert):
                 angles[i] = a
         return angles
+
+    def _sweep_grouped(self, crops: Sequence[np.ndarray], s: int,
+                       angles: np.ndarray, render) -> List[float]:
+        b = self.region_batch
+        out: List[float] = []
+        buf = np.zeros((b, s, s), dtype=np.uint8)
+        for start in range(0, len(crops), b):
+            group = crops[start:start + b]
+            buf[:] = 0
+            for i, crop in enumerate(group):
+                render(crop, buf[i])
+            out.extend(self._sweep_batched(buf, s, angles)[:len(group)])
+        return out
 
     def best_angle(self, crop: np.ndarray) -> float:
         return self.best_angles([crop])[0]

@@ -73,7 +73,8 @@ class TextlineDetector:
         self.models = models
         self.config = config
         self.deskew = DeskewEngine(config.deskew,
-                                   max_canvas=config.runtime.deskew_canvas)
+                                   max_canvas=config.runtime.deskew_canvas,
+                                   region_batch=config.runtime.deskew_batch)
 
     # -- device-bound phase --------------------------------------------------
     def device_phase(self, image: np.ndarray,

@@ -26,6 +26,8 @@ depends on them):
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 
 from sbb_textline_detection_tpu.core.config import LineSplitConfig
@@ -83,6 +85,18 @@ def _delete_clusters(peaks, peaks_neg, clusters):
 
 def _estimate_sigma(y_padded: np.ndarray, cfg: LineSplitConfig) -> int:
     """Adaptive smoothing sigma from mean peak spacing (main.py:551-617)."""
+    # np.mean(diff([])) below emits "Mean of empty slice" before the
+    # int(nan) raise lands in the except — the degrade is by design
+    # (main.py:610-615's bare try), so keep the warning out of stderr.
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            return _estimate_sigma_inner(y_padded, cfg)
+    except Exception:
+        return max(cfg.sigma_fallback, cfg.sigma_min)
+
+
+def _estimate_sigma_inner(y_padded: np.ndarray, cfg: LineSplitConfig) -> int:
     try:
         yps_e = profiles.gaussian_filter1d_host(y_padded, cfg.sigma_estimation)
         up_to_down = -y_padded + np.max(y_padded)

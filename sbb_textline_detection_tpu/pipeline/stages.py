@@ -85,22 +85,41 @@ def extract_text_regions(image_page: np.ndarray, models: ModelBundle,
     region model, then erode x3 / dilate x4 on the label map (main.py:2074-75).
     Returns the morphed (H, W) label map."""
     k = cfg.morphology.kernel_size
+    morph = (("erode", k, cfg.morphology.region_erode_iterations),
+             ("dilate", k, cfg.morphology.region_dilate_iterations))
     # Otsu binarization (pre) and erode/dilate (post) run fused on device
     # around the tiled forward — one dispatch, one (packed) transfer back.
-    try:
+    # Capability is detected from the signature, not by catching TypeError:
+    # JAX raises TypeError for genuine dtype/shape bugs inside the fused
+    # path, and those must not be silently retried via the host fallback.
+    if _accepts_kwarg(models.region.predict_tiled, "pre_otsu"):
         return models.region.predict_tiled(
             image_page.astype(np.uint8), cfg.tiling.margin_ratio,
-            morph=(("erode", k, cfg.morphology.region_erode_iterations),
-                   ("dilate", k, cfg.morphology.region_dilate_iterations)),
-            pre_otsu=True)
-    except TypeError:
-        # duck-typed model without the pre_otsu extension (tests/users):
-        # binarize on host (reference otsu_copy, main.py:178-194).
-        binarized = threshold.otsu_copy_host(image_page.astype(np.uint8))
+            morph=morph, pre_otsu=True)
+    # duck-typed model without the pre_otsu extension (tests/users):
+    # binarize on host (reference otsu_copy, main.py:178-194).
+    binarized = threshold.otsu_copy_host(image_page.astype(np.uint8))
+    if _accepts_kwarg(models.region.predict_tiled, "morph"):
         return models.region.predict_tiled(
-            binarized.astype(np.uint8), cfg.tiling.margin_ratio,
-            morph=(("erode", k, cfg.morphology.region_erode_iterations),
-                   ("dilate", k, cfg.morphology.region_dilate_iterations)))
+            binarized.astype(np.uint8), cfg.tiling.margin_ratio, morph=morph)
+    labels = models.region.predict_tiled(binarized.astype(np.uint8),
+                                         cfg.tiling.margin_ratio)
+    labels = np.asarray(morphology.erode_host(labels, k, morph[0][2]))
+    return np.asarray(morphology.dilate_host(labels, k, morph[1][2]))
+
+
+def _accepts_kwarg(fn, name: str) -> bool:
+    """True if `fn` can be called with keyword `name` (explicit or **kwargs)."""
+    import inspect
+
+    try:
+        sig = inspect.signature(fn)
+    except (TypeError, ValueError):
+        return True  # builtins/uninspectable: assume full-featured
+    if name in sig.parameters:
+        return True
+    return any(p.kind is inspect.Parameter.VAR_KEYWORD
+               for p in sig.parameters.values())
 
 
 def region_contours_and_boxes(region_labels: np.ndarray, cfg: PipelineConfig

@@ -214,3 +214,19 @@ def test_merge_detector_output_roundtrip(tmp_path):
     regions = merge.find_children(page, "TextRegion")
     assert len(regions) == 2
     assert sum(len(merge.find_children(r, "TextLine")) for r in regions) >= 7
+
+
+def test_merge_keeps_alternative_image_before_border():
+    """PAGE schema: AlternativeImage children precede Border; OCR-D
+    workspaces carry them after binarization steps. Border/ReadingOrder
+    must be inserted after them, not at index 0."""
+    target = _target_page(with_old=False)
+    page = merge.find_child(target, "Page")
+    for fname in ("bin.png", "gray.png"):
+        ai = ET.SubElement(page, f"{{{NS}}}AlternativeImage")
+        ai.set("filename", fname)
+    merge.merge_detection_into_page(target, _detection())
+    tags = [c.tag.split("}")[-1] for c in page]
+    assert tags[:4] == ["AlternativeImage", "AlternativeImage", "Border",
+                        "ReadingOrder"]
+    assert tags[4:] == ["TextRegion"]
