@@ -36,6 +36,8 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
 
 TARGET_PAGES_PER_SEC = 50.0
+# Peak bf16 MXU throughput of one v5e chip (FLOP/s) for the MFU estimate.
+PEAK_FLOPS = float(os.environ.get("SBB_BENCH_PEAK_FLOPS", 197e12))
 _CKPT_CACHE = os.environ.get(
     "SBB_BENCH_CKPT_DIR", os.path.join("/tmp", "sbb_tpu_bench_ckpts"))
 
@@ -124,6 +126,8 @@ def main() -> None:
     from sbb_textline_detection_tpu.training import eval as eval_mod
 
     stage_sums: dict = {}
+    device_sums: dict = {}
+    flops_total = 0.0
     regions = lines = 0
     lat = []
     scores = []
@@ -134,8 +138,11 @@ def main() -> None:
         lines += sum(len(t) for t in res.textlines)
         lat.append(res.timings["total"])
         scores.append(eval_mod.evaluate_layout(res, layouts[i]))
+        flops_total += res.flops
         for k, v in res.timings.items():
             stage_sums[k] = stage_sums.get(k, 0.0) + v
+        for k, v in res.device_timings.items():
+            device_sums[k] = device_sums.get(k, 0.0) + v
         _log(f"[bench] page {i}: {res.timings['total']:.2f}s "
              f"({len(res.contours)} regions, "
              f"recall {scores[-1].region_recall:.2f})")
@@ -162,6 +169,17 @@ def main() -> None:
         },
         "stage_seconds_per_page": {
             k: round(v / len(pages), 3) for k, v in sorted(stage_sums.items())},
+        # host-observed device dispatch+transfer seconds per stage: the gap
+        # to stage_seconds is pure host work (1-core VM); MFU is XLA cost
+        # model FLOPs / wall / chip bf16 peak.
+        "device_seconds_per_page": {
+            k: round(v / len(pages), 3)
+            for k, v in sorted(device_sums.items())},
+        "host_seconds_per_page": round(
+            (stage_sums.get("total", 0.0) - device_sums.get("total", 0.0))
+            / len(pages), 3),
+        "flops_per_page": round(flops_total / len(pages)),
+        "mfu": round(flops_total / max(total, 1e-9) / PEAK_FLOPS, 5),
     }
     print(json.dumps(result), flush=True)
 

@@ -373,4 +373,152 @@ void sbb_rotate(const double* in, int64_t h, int64_t w, int64_t c,
   }
 }
 
+
+
+// ---------------------------------------------------------------------------
+// Run-length 8-connected labeling + per-label stats in ONE pass.
+// Equivalent to sbb_label_components followed by sbb_label_stats, but scans
+// runs instead of pixels: text masks have ~100x fewer runs than pixels, and
+// the fill uses std::fill per run. labels: (h, w) int32 out. boxes: (cap, 4)
+// int64 (x0, y0, x1, y1 inclusive); seeds: (cap, 2) int64 (y, x). Returns n
+// (components, numbered 1..n in row-major first-pixel order); if n > cap the
+// labels are still complete but boxes/seeds are not — the return value is
+// -n and the caller must retry stats with a larger buffer.
+// ---------------------------------------------------------------------------
+
+int64_t sbb_label_runs(const uint8_t* mask, int64_t h, int64_t w,
+                       int32_t* labels, int64_t cap,
+                       int64_t* boxes, int64_t* seeds) {
+  struct Run { int32_t y; int32_t x0, x1; int32_t lab; };
+  std::vector<Run> all;
+  std::vector<int32_t> parent(1, 0);
+  size_t prev_begin = 0, prev_end = 0;  // [prev_begin, prev_end) in `all`
+
+  for (int64_t y = 0; y < h; ++y) {
+    const uint8_t* row = mask + y * w;
+    size_t cur_begin = all.size();
+    int64_t x = 0;
+    while (x < w) {
+      // skip background, 8 bytes at a time
+      while (x + 8 <= w) {
+        uint64_t v;
+        std::memcpy(&v, row + x, 8);
+        if (v) break;
+        x += 8;
+      }
+      while (x < w && !row[x]) ++x;
+      if (x >= w) break;
+      int64_t x0 = x;
+      while (x + 8 <= w) {
+        uint64_t v;
+        std::memcpy(&v, row + x, 8);
+        if (v != 0x0101010101010101ull && ~v != 0ull) {
+          // mixed word with a zero byte only if some byte==0
+          bool all_fg = true;
+          for (int i = 0; i < 8; ++i) if (!row[x + i]) { all_fg = false; break; }
+          if (!all_fg) break;
+        }
+        x += 8;
+      }
+      while (x < w && row[x]) ++x;
+      Run r{static_cast<int32_t>(y), static_cast<int32_t>(x0),
+            static_cast<int32_t>(x - 1), 0};
+      // union with 8-connected overlapping runs of the previous row
+      for (size_t p = prev_begin; p < prev_end; ++p) {
+        const Run& pr = all[p];
+        if (pr.x1 < r.x0 - 1) { continue; }
+        if (pr.x0 > r.x1 + 1) break;
+        if (r.lab == 0) {
+          r.lab = uf_find(parent, pr.lab);
+        } else {
+          int32_t ra = uf_find(parent, r.lab);
+          int32_t rb = uf_find(parent, pr.lab);
+          if (ra != rb) parent[std::max(ra, rb)] = std::min(ra, rb);
+        }
+      }
+      if (r.lab == 0) {
+        r.lab = static_cast<int32_t>(parent.size());
+        parent.push_back(r.lab);
+      }
+      all.push_back(r);
+    }
+    prev_begin = cur_begin;
+    prev_end = all.size();
+  }
+
+  // Renumber roots in row-major first-run order (== first-pixel order).
+  std::vector<int32_t> remap(parent.size(), 0);
+  int32_t next_label = 0;
+  for (auto& r : all) {
+    int32_t root = uf_find(parent, r.lab);
+    if (!remap[root]) remap[root] = ++next_label;
+    r.lab = remap[root];
+  }
+
+  std::memset(labels, 0, static_cast<size_t>(h) * w * sizeof(int32_t));
+  for (const auto& r : all) {
+    std::fill_n(labels + static_cast<int64_t>(r.y) * w + r.x0,
+                r.x1 - r.x0 + 1, r.lab);
+  }
+
+  if (next_label > cap) return -static_cast<int64_t>(next_label);
+  for (int64_t i = 0; i < next_label; ++i) {
+    boxes[i * 4 + 0] = w;  boxes[i * 4 + 1] = h;
+    boxes[i * 4 + 2] = -1; boxes[i * 4 + 3] = -1;
+    seeds[i * 2 + 0] = -1; seeds[i * 2 + 1] = -1;
+  }
+  for (const auto& r : all) {
+    int64_t* b = boxes + static_cast<int64_t>(r.lab - 1) * 4;
+    if (r.x0 < b[0]) b[0] = r.x0;
+    if (r.y < b[1]) b[1] = r.y;
+    if (r.x1 > b[2]) b[2] = r.x1;
+    if (r.y > b[3]) b[3] = r.y;
+    int64_t* s = seeds + static_cast<int64_t>(r.lab - 1) * 2;
+    if (s[0] < 0) { s[0] = r.y; s[1] = r.x0; }
+  }
+  return next_label;
+}
+
+// ---------------------------------------------------------------------------
+// Batched point-in-polygon (parity with ops/contours.py::points_in_polygon:
+// crossing-number with half-open vertex rule + on-edge tolerance). pts:
+// (n, 2) float64 polygon; qx/qy: (m,) query points; out: (m,) uint8 0/1.
+// Formulas and epsilons mirror the numpy oracle exactly (the Makefile sets
+// -ffp-contract=off so FMA contraction cannot flip borderline comparisons).
+// ---------------------------------------------------------------------------
+
+void sbb_points_in_polygon(const double* pts, int64_t n,
+                           const double* qx, const double* qy, int64_t m,
+                           uint8_t* out) {
+  std::memset(out, 0, static_cast<size_t>(m));
+  if (n < 1) return;
+  std::vector<int32_t> crossings(static_cast<size_t>(m), 0);
+  std::vector<uint8_t> on_edge(static_cast<size_t>(m), 0);
+  for (int64_t i = 0; i < n; ++i) {
+    const double x1 = pts[2 * i], y1 = pts[2 * i + 1];
+    const int64_t j = (i + 1) % n;
+    const double x2 = pts[2 * j], y2 = pts[2 * j + 1];
+    const double seg_len2 = (x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1);
+    const double eps = 1e-9 * std::max(seg_len2, 1.0);
+    const double xlo = std::min(x1, x2) - 1e-12, xhi = std::max(x1, x2) + 1e-12;
+    const double ylo = std::min(y1, y2) - 1e-12, yhi = std::max(y1, y2) + 1e-12;
+    const double dy = (y2 - y1) == 0.0 ? 1.0 : (y2 - y1);
+    for (int64_t k = 0; k < m; ++k) {
+      const double px = qx[k], py = qy[k];
+      const double cross = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1);
+      if (std::fabs(cross) <= eps && px >= xlo && px <= xhi && py >= ylo &&
+          py <= yhi) {
+        on_edge[k] = 1;
+      }
+      if ((y1 > py) != (y2 > py)) {
+        const double xint = x1 + (py - y1) * (x2 - x1) / dy;
+        if (px < xint) ++crossings[k];
+      }
+    }
+  }
+  for (int64_t k = 0; k < m; ++k) {
+    out[k] = static_cast<uint8_t>(((crossings[k] & 1) != 0) || on_edge[k]);
+  }
+}
+
 }  // extern "C"

@@ -135,6 +135,11 @@ class RuntimeConfig:
     # (bounds activation memory; the page's tile count is padded up to a
     # multiple of this).
     tile_chunk: int = 16
+    # Tile-grid (ny, nx) dimensions round up to multiples of this, so pages
+    # whose crops differ by a few hundred pixels share one compiled tiled
+    # program (cold-start and recompile control; padded rows/cols are white
+    # and cropped away after stitching).
+    grid_bucket: int = 2
     # Model compute dtype. Params are kept fp32; matmul/conv run in bf16.
     compute_dtype: str = "bfloat16"
     # Maximum regions processed by the fixed-shape deskew sweep at once.

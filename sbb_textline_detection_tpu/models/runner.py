@@ -40,6 +40,7 @@ from sbb_textline_detection_tpu.ops import morphology
 from sbb_textline_detection_tpu.ops import pack as pack_ops
 from sbb_textline_detection_tpu.ops import resize as resize_ops
 from sbb_textline_detection_tpu.ops import tiling
+from sbb_textline_detection_tpu.utils import stagetime
 
 # Post-prediction morphology fused into the device program:
 # tuple of ("erode"|"dilate", kernel_size, iterations).
@@ -99,7 +100,8 @@ class SegmentationModel:
             logits = self._module.apply(variables, x)
             return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
 
-        self._forward_labels = _forward_labels
+        self._forward_labels_jit = _forward_labels
+        self._labels_cache = {}
 
         @jax.jit
         def _forward_whole_packed(variables, img_u8):
@@ -108,7 +110,16 @@ class SegmentationModel:
             labels = jnp.argmax(logits[0], axis=-1).astype(jnp.uint8)
             return pack_ops.pack2_device(labels)
 
-        self._forward_whole_packed = _forward_whole_packed
+        self._forward_whole_jit = _forward_whole_packed
+        self._whole_compiled = None
+
+    def _aot(self, jitted, *args):
+        """AOT-compile once: (compiled, flops). The compiled object is the
+        only dispatch path (calling the jit wrapper after lower/compile
+        would compile a second copy), and its XLA cost analysis feeds the
+        per-stage FLOPs ledger."""
+        compiled = jitted.lower(*args).compile()
+        return compiled, stagetime.flops_of(compiled)
 
     # -- geometry ----------------------------------------------------------
     @property
@@ -141,33 +152,70 @@ class SegmentationModel:
                 padded = np.concatenate([chunk, pad], axis=0)
             else:
                 padded = chunk
-            labels = np.asarray(self._forward_labels(self.variables, padded))
+            entry = self._labels_cache.get(padded.shape)
+            if entry is None:
+                entry = self._aot(self._forward_labels_jit, self.variables,
+                                  padded)
+                self._labels_cache[padded.shape] = entry
+            compiled, flops = entry
+            with stagetime.device_section(flops):
+                labels = np.asarray(compiled(self.variables, padded))
             outs.append(labels[:chunk.shape[0]])
         return np.concatenate(outs, axis=0)
 
-    def predict_whole(self, img_u8: np.ndarray) -> np.ndarray:
-        """Whole-image mode (main.py:368-379): resize to model size, predict,
-        argmax, nearest-resize the label map back to the input size. One
-        batch-1 dispatch, 2-bit-packed transfer back."""
-        h, w = img_u8.shape[:2]
+    def predict_whole_small(self, img_u8: np.ndarray) -> np.ndarray:
+        """Whole-image forward WITHOUT the final upscale: resize to model
+        size, predict, argmax; returns the (model_h, model_w) label map.
+        One batch-1 dispatch, 2-bit-packed transfer back."""
         mh, mw = self.input_hw
         small = resize_ops.resize_nearest_host(img_u8, mh, mw)
-        packed = np.asarray(
-            self._forward_whole_packed(self.variables, jnp.asarray(small)))
-        labels = pack_ops.unpack2_host(packed, (mh, mw))
-        return resize_ops.resize_nearest_host(labels, h, w)
+        if self._whole_compiled is None:
+            self._whole_compiled = self._aot(
+                self._forward_whole_jit, self.variables, small)
+        compiled, flops = self._whole_compiled
+        with stagetime.device_section(flops):
+            packed = np.asarray(compiled(self.variables, jnp.asarray(small)))
+        return pack_ops.unpack2_host(packed, (mh, mw))
+
+    def predict_whole(self, img_u8: np.ndarray) -> np.ndarray:
+        """Whole-image mode (main.py:368-379): resize to model size, predict,
+        argmax, nearest-resize the label map back to the input size."""
+        h, w = img_u8.shape[:2]
+        return resize_ops.resize_nearest_host(
+            self.predict_whole_small(img_u8), h, w)
 
     # -- device-resident tiled path -----------------------------------------
+    def _apply_morph(self, canvas, ops: MorphSpec):
+        for op, k, it in ops:
+            if op == "erode":
+                canvas = morphology.erode(canvas, k, it)
+            elif op == "dilate":
+                canvas = morphology.dilate(canvas, k, it)
+            elif op == "open":
+                for _ in range(max(1, it)):
+                    canvas = morphology.morph_open(canvas, k)
+            elif op == "close":
+                for _ in range(max(1, it)):
+                    canvas = morphology.morph_close(canvas, k)
+            else:
+                raise ValueError(f"unknown morph op {op!r}")
+        return canvas
+
     def _tiled_fn(self, ny: int, nx: int, margin: int, morph: MorphSpec,
-                  pre_otsu_hw: Optional[Tuple[int, int]] = None):
-        """Build (and cache) the one-dispatch tiled program for an (ny, nx)
-        slab grid: tile extract -> chunked forward -> slab stitch (a single
-        transpose/reshape — every output pixel lies in exactly one tile's
-        central stride x stride slab) -> fused morphology -> 2-bit pack."""
-        key = (ny, nx, margin, morph, pre_otsu_hw)
-        fn = self._tiled_cache.get(key)
-        if fn is not None:
-            return fn
+                  pre_otsu: bool, mask_class: Optional[int],
+                  post_morph: MorphSpec, example_img: np.ndarray):
+        """Build, AOT-compile, and cache the one-dispatch tiled program for
+        an (ny, nx) slab grid: [device Otsu] -> tile extract -> chunked
+        forward -> slab stitch (a single transpose/reshape — every output
+        pixel lies in exactly one tile's central stride x stride slab) ->
+        fused label morphology -> [class mask + mask morphology] -> 2-bit
+        pack. Returns (compiled, flops); the program's only runtime inputs
+        besides the image are the original (h, w) extents, so one compiled
+        shape serves every page in the same grid bucket."""
+        key = (ny, nx, margin, morph, pre_otsu, mask_class, post_morph)
+        entry = self._tiled_cache.get(key)
+        if entry is not None:
+            return entry
 
         mh, mw = self.input_hw
         sh, sw = mh - 2 * margin, mw - 2 * margin
@@ -187,16 +235,20 @@ class SegmentationModel:
         module = self._module
         mesh = self.mesh
 
-        def fn(variables, img_u8):
-            if pre_otsu_hw is not None:
-                # Reference otsu_copy (main.py:178-194) fused on device:
-                # the threshold histogram is computed over the ORIGINAL
-                # (unpadded) page slice, exactly the scope the reference
-                # sees; the white padding binarizes to white either way.
+        def fn(variables, img_u8, ohw):
+            if pre_otsu:
+                # Reference otsu_copy (main.py:178-194) fused on device. The
+                # threshold histogram covers the ORIGINAL (unpadded) page
+                # extent — exactly the scope the reference sees — via a
+                # runtime weight mask, so the compiled shape is independent
+                # of the crop's exact (h, w).
                 from sbb_textline_detection_tpu.ops import threshold
-                oh, ow = pre_otsu_hw
-                t = threshold.otsu_threshold(
-                    img_u8[margin:margin + oh, margin:margin + ow, 0])
+                ph, pw = img_u8.shape[:2]
+                iy = jnp.arange(ph, dtype=jnp.int32)[:, None]
+                ix = jnp.arange(pw, dtype=jnp.int32)[None, :]
+                inside = ((iy >= margin) & (iy < margin + ohw[0])
+                          & (ix >= margin) & (ix < margin + ohw[1]))
+                t = threshold.otsu_threshold_masked(img_u8[..., 0], inside)
                 ch0 = jnp.where(img_u8[..., 0].astype(jnp.int32) > t,
                                 jnp.uint8(255), jnp.uint8(0))
                 img_u8 = jnp.repeat(ch0[..., None], 3, axis=-1)
@@ -228,29 +280,38 @@ class SegmentationModel:
             canvas = (slabs.reshape(ny, nx, sh, sw)
                       .transpose(0, 2, 1, 3)
                       .reshape(ny * sh, nx * sw))
-            for op, k, it in morph:
-                if op == "erode":
-                    canvas = morphology.erode(canvas, k, it)
-                else:
-                    canvas = morphology.dilate(canvas, k, it)
+            canvas = self._apply_morph(canvas, morph)
+            if mask_class is not None:
+                # Reference: mask = (labels == class) then OPEN+CLOSE
+                # (main.py:457-464) — fused here so only the final binary
+                # mask crosses the (slow) device->host path.
+                canvas = (canvas == np.uint8(mask_class)).astype(jnp.uint8)
+                canvas = self._apply_morph(canvas, post_morph)
             return pack_ops.pack2_device(canvas)
 
-        fn = jax.jit(fn)
-        self._tiled_cache[key] = fn
-        return fn
+        ohw_ex = np.zeros((2,), np.int32)
+        entry = self._aot(jax.jit(fn), self.variables, example_img, ohw_ex)
+        self._tiled_cache[key] = entry
+        return entry
 
     def predict_tiled(self, img_u8: np.ndarray, margin_ratio: float = 0.1,
                       morph: Optional[MorphSpec] = None,
-                      pre_otsu: bool = False) -> np.ndarray:
+                      pre_otsu: bool = False,
+                      mask_class: Optional[int] = None,
+                      post_morph: Optional[MorphSpec] = None) -> np.ndarray:
         """Patch mode (main.py:231-364) in one device dispatch; `morph` ops
         are fused after stitching (reference applies them on the host label
-        map, main.py:2074-2075 — same result, no extra round trips).
+        map, main.py:2074-2075 — same result, no extra round trips). With
+        `mask_class`, the label map is reduced to a binary class mask on
+        device and `post_morph` ops run on that mask (main.py:457-464);
+        the return value is then the 0/1 mask instead of the label map.
 
         Deviation from the reference grid: the page is padded with `margin`
         of white on the top/left and up to a stride multiple (plus margin)
         on the bottom/right, so each output pixel is covered by exactly one
         tile's central slab — stitching is a reshape instead of the 9-case
-        seam trim, and all similarly-sized pages share one compiled program.
+        seam trim. The grid is additionally rounded up to `grid_bucket`
+        multiples so all similarly-sized pages share one compiled program.
         Interior seams fall at the same stride positions as the reference;
         only tiles touching the page border see white padding instead of
         being shifted inward (main.py:276-281), which perturbs predictions
@@ -260,15 +321,20 @@ class SegmentationModel:
         mh, mw = self.input_hw
         margin = int(margin_ratio * mw)
         sh, sw = mh - 2 * margin, mw - 2 * margin
-        ny = max(1, -(-h // sh))
-        nx = max(1, -(-w // sw))
+        gb = max(1, self.runtime.grid_bucket)
+        ny = -(-max(1, -(-h // sh)) // gb) * gb
+        nx = -(-max(1, -(-w // sw)) // gb) * gb
         img = np.pad(img_u8,
                      ((margin, ny * sh - h + margin),
                       (margin, nx * sw - w + margin), (0, 0)),
                      constant_values=255)
-        fn = self._tiled_fn(ny, nx, margin, tuple(morph or ()),
-                            pre_otsu_hw=(h, w) if pre_otsu else None)
-        packed = np.asarray(fn(self.variables, jnp.asarray(img)))
+        compiled, flops = self._tiled_fn(
+            ny, nx, margin, tuple(morph or ()), pre_otsu, mask_class,
+            tuple(post_morph or ()), img)
+        ohw = np.asarray([h, w], np.int32)
+        with stagetime.device_section(flops):
+            packed = np.asarray(compiled(self.variables, jnp.asarray(img),
+                                         ohw))
         labels = pack_ops.unpack2_host(packed, (ny * sh, nx * sw))
         return labels[:h, :w]
 

@@ -62,6 +62,12 @@ def load() -> Optional[ctypes.CDLL]:
         lib.sbb_morph_binary.restype = None
         lib.sbb_morph_binary.argtypes = [_p_u8, _i64, _i64, _i64, _i64,
                                          ctypes.c_int, _p_u8]
+        lib.sbb_label_runs.restype = _i64
+        lib.sbb_label_runs.argtypes = [_p_u8, _i64, _i64, _p_i32, _i64,
+                                       _p_i64, _p_i64]
+        lib.sbb_points_in_polygon.restype = None
+        lib.sbb_points_in_polygon.argtypes = [_p_f64, _i64, _p_f64, _p_f64,
+                                              _i64, _p_u8]
         lib.sbb_rotate.restype = None
         lib.sbb_rotate.argtypes = [_p_f64, _i64, _i64, _i64,
                                    ctypes.c_double, ctypes.c_int, _p_f64]
@@ -103,6 +109,42 @@ def label_components(mask: np.ndarray) -> Tuple[np.ndarray, int]:
     labels = np.empty((h, w), dtype=np.int32)
     n = lib.sbb_label_components(mask_u8, h, w, labels)
     return labels, int(n)
+
+
+def label_components_stats(mask: np.ndarray
+                           ) -> Tuple[np.ndarray, int, np.ndarray, np.ndarray]:
+    """One-pass run-length labeling + stats: (labels, n, boxes, seeds) —
+    equivalent to label_components + label_stats but scans runs, not
+    pixels (~5-10x faster on text masks)."""
+    lib = load()
+    assert lib is not None
+    mask_u8 = np.ascontiguousarray(np.asarray(mask) != 0, dtype=np.uint8)
+    h, w = mask_u8.shape
+    labels = np.empty((h, w), dtype=np.int32)
+    cap = 4096
+    while True:
+        boxes = np.empty((cap, 4), dtype=np.int64)
+        seeds = np.empty((cap, 2), dtype=np.int64)
+        n = lib.sbb_label_runs(mask_u8, h, w, labels, cap,
+                               boxes.reshape(-1), seeds.reshape(-1))
+        if n >= 0:
+            return labels, int(n), boxes[:n], seeds[:n]
+        cap = -int(n)
+
+
+def points_in_polygon(pts: np.ndarray, qx: np.ndarray,
+                      qy: np.ndarray) -> np.ndarray:
+    """Boolean mask: query points inside-or-on the polygon (parity with
+    ops/contours.py's numpy oracle)."""
+    lib = load()
+    assert lib is not None
+    pts = np.ascontiguousarray(np.asarray(pts, np.float64).reshape(-1, 2))
+    qx = np.ascontiguousarray(np.asarray(qx, np.float64).ravel())
+    qy = np.ascontiguousarray(np.asarray(qy, np.float64).ravel())
+    out = np.empty(qx.shape[0], dtype=np.uint8)
+    lib.sbb_points_in_polygon(pts.reshape(-1), pts.shape[0], qx, qy,
+                              qx.shape[0], out)
+    return out.astype(bool)
 
 
 def label_stats(labels: np.ndarray, n: int) -> Tuple[np.ndarray, np.ndarray]:

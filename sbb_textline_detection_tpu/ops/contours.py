@@ -103,15 +103,14 @@ def set_native_tracer(fn) -> None:
 
 
 def _find_contours_native(mask: np.ndarray, simplify: bool) -> List[np.ndarray]:
-    """Full-native path: C++ union-find labeling, per-label bbox/seed
-    reductions, and Moore tracing (native/sbb_native.cpp)."""
+    """Full-native path: C++ run-length labeling (+ fused bbox/seed
+    reductions) and Moore tracing (native/sbb_native.cpp)."""
     from sbb_textline_detection_tpu import native_bridge
 
-    labels, n = native_bridge.label_components(mask)
+    labels, n, boxes, seeds = native_bridge.label_components_stats(mask)
     out: List[np.ndarray] = []
     if n == 0:
         return out
-    boxes, seeds = native_bridge.label_stats(labels, n)
     for li in range(1, n + 1):
         x0, y0, x1, y1 = boxes[li - 1]
         if x1 < 0:
@@ -205,8 +204,19 @@ def points_in_polygon(pts: np.ndarray, qx: np.ndarray, qy: np.ndarray) -> np.nda
     """Vectorized sign(cv2.pointPolygonTest) >= 0 test.
 
     Returns a boolean array: True where the query point is inside or on the
-    boundary of the polygon.
+    boundary of the polygon. Dispatches to the native library when built
+    (the numpy body below is the parity oracle, tests/test_native.py).
     """
+    from sbb_textline_detection_tpu import native_bridge
+
+    if native_bridge.available() and len(np.asarray(pts)) >= 1:
+        return native_bridge.points_in_polygon(pts, qx, qy)
+    return points_in_polygon_host(pts, qx, qy)
+
+
+def points_in_polygon_host(pts: np.ndarray, qx: np.ndarray,
+                           qy: np.ndarray) -> np.ndarray:
+    """Pure-numpy points_in_polygon (parity oracle for the native path)."""
     pts = np.asarray(pts, dtype=np.float64)
     qx = np.asarray(qx, dtype=np.float64).ravel()
     qy = np.asarray(qy, dtype=np.float64).ravel()

@@ -82,16 +82,17 @@ def morph_close(img: jax.Array, kernel_size: int = 5) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 def _binary_foreground_value(img: np.ndarray):
-    """If `img` is 2-D binary (values ⊆ {0, v}), return v; else None."""
+    """If `img` is 2-D binary (values ⊆ {0, v}), return v; else None.
+
+    O(n) min/max scan — np.unique's full sort cost ~0.4 s/page across the
+    ~100 host morphology calls of one page's post-processing."""
     if img.ndim != 2:
         return None
-    vals = np.unique(img)
-    if vals.size == 1 and vals[0] == 0:
-        return 1
-    if vals.size <= 2 and vals[0] == 0:
-        return vals[-1]
-    if vals.size == 1:
-        return vals[0]
+    mx = img.max() if img.size else 0
+    if mx == 0:
+        return 1  # all-background: any foreground value works
+    if np.min(img, initial=mx, where=img != 0) == mx:
+        return mx
     return None
 
 

@@ -63,7 +63,25 @@ def otsu_threshold(img: jax.Array) -> jax.Array:
     """Otsu threshold (int32 scalar) of a uint8 image on device."""
     flat = img.astype(jnp.int32).ravel()
     hist = jnp.zeros((256,), jnp.float32).at[flat].add(1.0)
-    p = hist / jnp.sum(hist)
+    return _otsu_from_hist(hist)
+
+
+@jax.jit
+def otsu_threshold_masked(img: jax.Array, weight: jax.Array) -> jax.Array:
+    """Otsu threshold over only the pixels where `weight` is nonzero.
+
+    Lets one compiled program handle any original-image extent inside a
+    padded canvas: the scope of the histogram (the reference computes the
+    threshold over the unpadded page, main.py:187-189) becomes a runtime
+    mask instead of a static slice shape."""
+    flat = img.astype(jnp.int32).ravel()
+    hist = jnp.zeros((256,), jnp.float32).at[flat].add(
+        weight.astype(jnp.float32).ravel())
+    return _otsu_from_hist(hist)
+
+
+def _otsu_from_hist(hist: jax.Array) -> jax.Array:
+    p = hist / jnp.maximum(jnp.sum(hist), 1.0)
     omega = jnp.cumsum(p)
     mu_t = jnp.cumsum(p * jnp.arange(256, dtype=jnp.float32))
     mu = mu_t[-1]

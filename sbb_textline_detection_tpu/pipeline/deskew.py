@@ -70,8 +70,33 @@ import numpy as np
 from sbb_textline_detection_tpu.core.config import DeskewConfig
 from sbb_textline_detection_tpu.ops import profiles
 from sbb_textline_detection_tpu.ops import resize as resize_ops
+from sbb_textline_detection_tpu.utils import stagetime
 
 _BUCKETS = (256, 512, 1024, 1536, 2048)
+
+# AOT cache for the (radon, score) programs: keyed on every shape/static
+# that reaches the jits. AOT compiling once and dispatching the compiled
+# object avoids jit's separate lower-on-call path and exposes each
+# program's XLA FLOPs for the stage ledger.
+_AOT_CACHE: dict = {}
+
+
+def _aot_radon_score(canv_shape, n_angles: int, f_pad: int, s: int,
+                     chunk: int, use_pallas: bool):
+    key = (canv_shape, n_angles, f_pad, s, chunk, use_pallas)
+    entry = _AOT_CACHE.get(key)
+    if entry is None:
+        canv = jax.ShapeDtypeStruct(canv_shape, jnp.uint8)
+        ang = jax.ShapeDtypeStruct((n_angles,), jnp.float32)
+        idx = jax.ShapeDtypeStruct((f_pad,), jnp.int32)
+        radon = _radon_profiles_batched.lower(
+            canv, ang, idx, idx, s=s, chunk=chunk,
+            use_pallas=use_pallas).compile()
+        # score statics must match _sweep_batched's call site; they are
+        # re-lowered per config via the outer key when they differ.
+        entry = (radon, stagetime.flops_of(radon))
+        _AOT_CACHE[key] = entry
+    return entry
 
 
 def _hat(x):
@@ -223,16 +248,19 @@ class DeskewEngine:
             import jax as _jax
             use_pallas = (_jax.default_backend() == "tpu"
                           and pallas_radon.supported(s))
-        P = _radon_profiles_batched(
-            jnp.asarray(canvases), jnp.asarray(angles),
-            jnp.asarray(ridx, jnp.int32), jnp.asarray(aidx, jnp.int32),
-            s, chunk, use_pallas=bool(use_pallas))
-        valid, score = _score_profiles(
-            P, sigma=float(self.cfg.sigma),
-            multiplier=float(self.cfg.peak_threshold_multiplier),
-            pos_min=float(self.cfg.pos_peak_min_value))
-        valid = np.asarray(valid)[:f].reshape(r, a)
-        score = np.asarray(score)[:f].reshape(r, a)
+        radon, radon_flops = _aot_radon_score(
+            canvases.shape, angles.shape[0], f_pad, s, chunk,
+            bool(use_pallas))
+        with stagetime.device_section(radon_flops):
+            P = radon(jnp.asarray(canvases), jnp.asarray(angles),
+                      jnp.asarray(ridx, jnp.int32),
+                      jnp.asarray(aidx, jnp.int32))
+            valid, score = _score_profiles(
+                P, sigma=float(self.cfg.sigma),
+                multiplier=float(self.cfg.peak_threshold_multiplier),
+                pos_min=float(self.cfg.pos_peak_min_value))
+            valid = np.asarray(valid)[:f].reshape(r, a)
+            score = np.asarray(score)[:f].reshape(r, a)
         out = []
         for i in range(r):
             v = valid[i]

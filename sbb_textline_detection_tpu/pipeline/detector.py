@@ -46,6 +46,11 @@ class PageResult:
     textlines: List[List[np.ndarray]]
     page_coord: List[int]
     timings: Dict[str, float]
+    # Host-observed device dispatch+transfer seconds per stage (subset of
+    # `timings`; the remainder of each stage is host work) and the total
+    # executed-program FLOPs, from XLA's cost model (utils/stagetime).
+    device_timings: Dict[str, float] = dataclasses.field(default_factory=dict)
+    flops: float = 0.0
 
     def write(self, dir_out: str, f_name: str) -> str:
         return pagexml_writer.write_page_xml(self.xml_tree, dir_out, f_name)
@@ -59,9 +64,11 @@ class _DeviceState:
     image_page: np.ndarray
     page_coord: List[int]
     cont_page: np.ndarray
-    region_labels: Optional[np.ndarray]
+    region_mask: Optional[np.ndarray]
     textline_mask: Optional[np.ndarray]
     timings: Dict[str, float]
+    device_timings: Dict[str, float]
+    flops: float
 
 
 class TextlineDetector:
@@ -80,26 +87,38 @@ class TextlineDetector:
     def device_phase(self, image: np.ndarray,
                      image_filename: str = "") -> _DeviceState:
         """Scale, border-crop, and run all three model passes."""
+        from sbb_textline_detection_tpu.utils import stagetime
+
         cfg = self.config
         t: Dict[str, float] = {}
+        dev: Dict[str, float] = {}
+        flops = 0.0
+
+        stagetime.reset()
         t0 = time.time()
         scaled = stages.scale_image(image, cfg)
         image_page, page_coord, cont_page = stages.extract_page(
             scaled, self.models, cfg)
         t["page_extraction"] = time.time() - t0
+        dev["page_extraction"], f = stagetime.snapshot()
+        flops += f
 
-        region_labels = None
+        region_mask = None
         textline_mask = None
+        stagetime.reset()
         t1 = time.time()
         try:
-            region_labels = stages.extract_text_regions(
+            region_mask = stages.extract_text_regions(
                 image_page, self.models, cfg)
         except Exception:
             LOG.warning("region model failed for %s; degrading to empty "
                         "regions", image_filename, exc_info=True)
-            region_labels = None
+            region_mask = None
         t["region_extraction_model"] = time.time() - t1
-        if region_labels is not None:
+        dev["region_extraction"], f = stagetime.snapshot()
+        flops += f
+        if region_mask is not None:
+            stagetime.reset()
             t2 = time.time()
             try:
                 textline_mask = stages.textline_mask_total(
@@ -109,14 +128,21 @@ class TextlineDetector:
                             "empty regions", image_filename, exc_info=True)
                 textline_mask = None
             t["textlines"] = time.time() - t2
+            dev["textlines"], f = stagetime.snapshot()
+            flops += f
         return _DeviceState(image_filename, scaled, image_page, page_coord,
-                            cont_page, region_labels, textline_mask, t)
+                            cont_page, region_mask, textline_mask, t, dev,
+                            flops)
 
     # -- host-bound phase ------------------------------------------------------
     def host_phase(self, st: _DeviceState) -> PageResult:
         """Contours, deskew + line split, reading order, PAGE-XML."""
+        from sbb_textline_detection_tpu.utils import stagetime
+
         cfg = self.config
         t = dict(st.timings)
+        dev = dict(st.device_timings)
+        flops = st.flops
         t0_all = time.time()
 
         contours: List[np.ndarray] = []
@@ -129,10 +155,10 @@ class TextlineDetector:
 
         try:
             t1 = time.time()
-            if st.region_labels is not None:
+            if st.region_mask is not None:
                 try:
                     contours, boxes = stages.region_contours_and_boxes(
-                        st.region_labels, cfg)
+                        st.region_mask, cfg)
                 except Exception:
                     LOG.warning("region contour extraction failed for %s",
                                 st.image_filename, exc_info=True)
@@ -144,10 +170,13 @@ class TextlineDetector:
             if len(contours) > 0 and st.textline_mask is None:
                 contours, boxes = [], []  # degrade: no line mask, no regions
             if len(contours) > 0:
+                stagetime.reset()
                 t3 = time.time()
                 slopes, textlines = stages.slopes_and_lines(
                     contours, boxes, st.textline_mask, cfg, self.deskew)
                 t["deskew"] = time.time() - t3
+                dev["deskew"], f = stagetime.snapshot()
+                flops += f
 
                 t4 = time.time()
                 indexes_sorted, matrix = order_mod.order_of_regions(
@@ -190,8 +219,9 @@ class TextlineDetector:
         device_total = sum(st.timings.values())
         t["total"] = device_total + (time.time() - t0_all)
         t.pop("region_extraction_model", None)
+        dev["total"] = sum(dev.values())
         return PageResult(tree, contours, slopes, textlines,
-                          st.page_coord, t)
+                          st.page_coord, t, dev, flops)
 
     # -- public API --------------------------------------------------------
     def process_image(self, image: np.ndarray,

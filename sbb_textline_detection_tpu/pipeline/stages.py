@@ -47,27 +47,62 @@ def scale_image(image: np.ndarray, cfg: PipelineConfig) -> ScaledImage:
     return ScaledImage(scaled, h, w, target_w / float(w), target_h / float(h))
 
 
+def _page_box_full_res(labels: np.ndarray, cfg: PipelineConfig) -> List[int]:
+    """Reference-shaped page box (main.py:394-404): threshold, dilate x6
+    (5x5), largest exterior contour, boundingRect — at full working
+    resolution. Host parity oracle for _page_box_model_res."""
+    mask = (labels != 0).astype(np.uint8) * 255
+    mask = morphology.dilate_host(
+        mask, cfg.morphology.kernel_size,
+        cfg.morphology.page_dilate_iterations)
+    conts = contour_ops.find_contours(mask)
+    areas = [contour_ops.polygon_area(c) for c in conts]
+    best = conts[int(np.argmax(areas))]
+    x, y, bw, bh = contour_ops.bounding_rect(best)
+    return [x, y, bw, bh]
+
+
+def _page_box_model_res(small: np.ndarray, h: int, w: int,
+                        cfg: PipelineConfig) -> List[int]:
+    """Page box computed at model resolution (DEVIATIONS.md #9).
+
+    The reference nearest-upscales the label map to working resolution and
+    runs dilate x6 + largest-contour + boundingRect there (main.py:394-404).
+    The same decision on the (mh, mw) map is ~100x cheaper on this 1-core
+    host: dilate by 1 px at model scale (≈ the reference's 12 px at working
+    scale), pick the largest component, and map its bbox through the exact
+    INTER_NEAREST upscale index math (ops/resize.py), so the result equals
+    the full-resolution route up to the morphology-scale quantization."""
+    mh, mw = small.shape[:2]
+    mask = (small != 0).astype(np.uint8)
+    mask = morphology.dilate_host(mask, 3, 1)
+    conts = contour_ops.find_contours(mask)
+    areas = [contour_ops.polygon_area(c) for c in conts]
+    best = conts[int(np.argmax(areas))]
+    x, y, bw, bh = contour_ops.bounding_rect(best)
+    # full-res pixels whose nearest source index is j span
+    # [ceil(j*W/mw), ceil((j+1)*W/mw) - 1]
+    x0 = int(np.ceil(x * w / mw))
+    x1 = int(np.ceil((x + bw) * w / mw)) - 1
+    y0 = int(np.ceil(y * h / mh))
+    y1 = int(np.ceil((y + bh) * h / mh)) - 1
+    return [x0, y0, max(1, x1 - x0 + 1), max(1, y1 - y0 + 1)]
+
+
 def extract_page(scaled: ScaledImage, models: ModelBundle,
                  cfg: PipelineConfig) -> Tuple[np.ndarray, List[int], np.ndarray]:
     """Border/printspace detection (main.py:384-437): whole-image page model,
-    threshold, dilate x6, largest exterior contour's bbox, crop. Fallback on
-    any failure: the whole image."""
+    threshold, dilate, largest exterior contour's bbox, crop. Fallback on
+    any failure: the whole image. The box decision runs at model resolution
+    when the model exposes the small label map (DEVIATIONS.md #9)."""
     img = scaled.image
     h, w = img.shape[:2]
     try:
-        labels = models.page.predict_whole(img)
-        mask = (labels != 0).astype(np.uint8) * 255
-        # Host (native) dilate: the mask was upscaled on host, and binary
-        # morphology at full page resolution is cheaper than a device round
-        # trip over the slow d2h path.
-        mask = morphology.dilate_host(
-            mask, cfg.morphology.kernel_size,
-            cfg.morphology.page_dilate_iterations)
-        conts = contour_ops.find_contours(mask)
-        areas = [contour_ops.polygon_area(c) for c in conts]
-        best = conts[int(np.argmax(areas))]
-        x, y, bw, bh = contour_ops.bounding_rect(best)
-        box = [x, y, bw, bh]
+        if hasattr(models.page, "predict_whole_small"):
+            small = models.page.predict_whole_small(img)
+            box = _page_box_model_res(small, h, w, cfg)
+        else:
+            box = _page_box_full_res(models.page.predict_whole(img), cfg)
     except Exception:
         box = [0, 0, w - 1, h - 1]
     cropped = img[box[1]:box[1] + box[3], box[0]:box[0] + box[2]]
@@ -81,31 +116,40 @@ def extract_page(scaled: ScaledImage, models: ModelBundle,
 
 def extract_text_regions(image_page: np.ndarray, models: ModelBundle,
                          cfg: PipelineConfig) -> np.ndarray:
-    """Region segmentation (main.py:439-454): channel-0 Otsu copy, patch-mode
-    region model, then erode x3 / dilate x4 on the label map (main.py:2074-75).
-    Returns the morphed (H, W) label map."""
+    """Region segmentation + mask shaping (main.py:439-454, 2074-2075,
+    457-464): channel-0 Otsu copy, patch-mode region model, erode x3 /
+    dilate x4 on the label map, text-class mask, morph OPEN + CLOSE.
+    Returns the final binary (H, W) uint8 0/1 text-region mask — with a
+    capable model the whole chain is ONE fused device dispatch and only the
+    2-bit-packed mask crosses back to host."""
     k = cfg.morphology.kernel_size
     morph = (("erode", k, cfg.morphology.region_erode_iterations),
              ("dilate", k, cfg.morphology.region_dilate_iterations))
-    # Otsu binarization (pre) and erode/dilate (post) run fused on device
-    # around the tiled forward — one dispatch, one (packed) transfer back.
+    post = (("open", k, 1), ("close", k, 1))
+    text_class = cfg.region.text_class_value
     # Capability is detected from the signature, not by catching TypeError:
     # JAX raises TypeError for genuine dtype/shape bugs inside the fused
     # path, and those must not be silently retried via the host fallback.
     if _accepts_kwarg(models.region.predict_tiled, "pre_otsu"):
         return models.region.predict_tiled(
             image_page.astype(np.uint8), cfg.tiling.margin_ratio,
-            morph=morph, pre_otsu=True)
-    # duck-typed model without the pre_otsu extension (tests/users):
-    # binarize on host (reference otsu_copy, main.py:178-194).
+            morph=morph, pre_otsu=True, mask_class=text_class,
+            post_morph=post)
+    # duck-typed model without the fused extensions (tests/users):
+    # binarize on host (reference otsu_copy, main.py:178-194) and shape the
+    # mask with the host morphology oracles.
     binarized = threshold.otsu_copy_host(image_page.astype(np.uint8))
     if _accepts_kwarg(models.region.predict_tiled, "morph"):
-        return models.region.predict_tiled(
+        labels = models.region.predict_tiled(
             binarized.astype(np.uint8), cfg.tiling.margin_ratio, morph=morph)
-    labels = models.region.predict_tiled(binarized.astype(np.uint8),
-                                         cfg.tiling.margin_ratio)
-    labels = np.asarray(morphology.erode_host(labels, k, morph[0][2]))
-    return np.asarray(morphology.dilate_host(labels, k, morph[1][2]))
+    else:
+        labels = models.region.predict_tiled(binarized.astype(np.uint8),
+                                             cfg.tiling.margin_ratio)
+        labels = np.asarray(morphology.erode_host(labels, k, morph[0][2]))
+        labels = np.asarray(morphology.dilate_host(labels, k, morph[1][2]))
+    mask = (np.asarray(labels) == text_class).astype(np.uint8)
+    mask = morphology.morph_open_host(mask, k)
+    return morphology.morph_close_host(mask, k)
 
 
 def _accepts_kwarg(fn, name: str) -> bool:
@@ -122,14 +166,13 @@ def _accepts_kwarg(fn, name: str) -> bool:
                for p in sig.parameters.values())
 
 
-def region_contours_and_boxes(region_labels: np.ndarray, cfg: PipelineConfig
+def region_contours_and_boxes(region_mask: np.ndarray, cfg: PipelineConfig
                               ) -> Tuple[List[np.ndarray], List[List[int]]]:
-    """Text-region contours (main.py:456-481): mask of the text class, morph
-    open+close, exterior contours, relative-area filter, bounding boxes."""
-    mask = (region_labels == cfg.region.text_class_value).astype(np.uint8) * 255
-    k = cfg.morphology.kernel_size
-    mask = np.asarray(morphology.morph_open(mask, k))
-    mask = np.asarray(morphology.morph_close(mask, k))
+    """Text-region contours (main.py:465-481) from the shaped binary mask
+    produced by extract_text_regions: exterior contours, relative-area
+    filter, bounding boxes. (The class masking and OPEN/CLOSE of
+    main.py:457-464 already happened — on device — in the previous stage.)"""
+    mask = np.asarray(region_mask)
     conts = contour_ops.find_contours(mask)
     img_area = float(np.prod(mask.shape[:2]))
     main_contours = []

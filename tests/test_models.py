@@ -120,6 +120,39 @@ def test_predict_tiled_fused_morph_matches_host_morph():
     np.testing.assert_array_equal(fused, ref)
 
 
+def test_predict_tiled_fused_mask_matches_host_pipeline():
+    """mask_class + post_morph must equal the host route: label morph,
+    class mask, OPEN, CLOSE (reference main.py:2074-2075 + 457-464)."""
+    from sbb_textline_detection_tpu.ops import morphology
+    model = _tiny_model()
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 255, (104, 104, 3)).astype(np.uint8)
+    morph = (("erode", 3, 1), ("dilate", 3, 2))
+    fused = model.predict_tiled(img, morph=morph, mask_class=1,
+                                post_morph=(("open", 3, 1), ("close", 3, 1)))
+    labels = model.predict_tiled(img, morph=morph)
+    ref = (labels == 1).astype(np.uint8)
+    ref = morphology.morph_open_host(ref, 3)
+    ref = morphology.morph_close_host(ref, 3)
+    np.testing.assert_array_equal(fused, ref)
+    assert set(np.unique(fused)) <= {0, 1}
+
+
+def test_grid_bucket_invariance():
+    """Different grid_bucket settings change only which compiled program
+    runs, never the output (padding is white and cropped away)."""
+    from sbb_textline_detection_tpu.core.config import RuntimeConfig
+    variables = registry.init_variables(TINY, seed=0)
+    m1 = runner.SegmentationModel(
+        TINY, variables, RuntimeConfig(grid_bucket=1))
+    m4 = runner.SegmentationModel(
+        TINY, variables, RuntimeConfig(grid_bucket=4))
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 255, (150, 131, 3)).astype(np.uint8)
+    np.testing.assert_array_equal(m1.predict_tiled(img),
+                                  m4.predict_tiled(img))
+
+
 def test_checkpoint_roundtrip(tmp_path):
     variables = registry.init_variables(TINY, seed=3)
     path = str(tmp_path / "tiny.npz")

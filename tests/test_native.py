@@ -160,3 +160,52 @@ def test_find_contours_native_vs_python_paths(nb):
     assert len(native) == len(python)
     for a, b in zip(native, python):
         np.testing.assert_array_equal(a, b)
+
+
+def test_label_runs_matches_pixel_labeling(nb):
+    """Run-length labeling+stats must equal the pixel union-find path
+    (labels, count, boxes, seeds) bit for bit."""
+    for trial in range(40):
+        m = _random_blobs(70, 90, int(RNG.integers(0, 10)), RNG)
+        if trial % 3 == 0:  # salt: single-pixel components and thin runs
+            ys = RNG.integers(0, 70, 25)
+            xs = RNG.integers(0, 90, 25)
+            m[ys, xs] = 1
+        labels_r, n_r, boxes_r, seeds_r = nb.label_components_stats(m)
+        labels_p, n_p = nb.label_components(m)
+        np.testing.assert_array_equal(labels_r, labels_p)
+        assert n_r == n_p
+        if n_p:
+            boxes_p, seeds_p = nb.label_stats(labels_p, n_p)
+            np.testing.assert_array_equal(boxes_r, boxes_p)
+            np.testing.assert_array_equal(seeds_r, seeds_p)
+
+
+def test_label_runs_empty_and_full(nb):
+    empty = np.zeros((16, 24), np.uint8)
+    labels, n, boxes, seeds = nb.label_components_stats(empty)
+    assert n == 0 and not labels.any()
+    full = np.ones((16, 24), np.uint8)
+    labels, n, boxes, seeds = nb.label_components_stats(full)
+    assert n == 1 and (labels == 1).all()
+    np.testing.assert_array_equal(boxes[0], [0, 0, 23, 15])
+    np.testing.assert_array_equal(seeds[0], [0, 0])
+
+
+def test_points_in_polygon_native_matches_numpy(nb):
+    from sbb_textline_detection_tpu.ops import contours as cops
+    for _ in range(25):
+        n_v = int(RNG.integers(3, 40))
+        poly = RNG.uniform(0, 100, (n_v, 2))
+        qx = RNG.uniform(-10, 110, 500)
+        qy = RNG.uniform(-10, 110, 500)
+        got = nb.points_in_polygon(poly, qx, qy)
+        ref = cops.points_in_polygon_host(poly, qx, qy)
+        np.testing.assert_array_equal(got, ref)
+    # integer-lattice queries on an integer polygon (on-edge cases)
+    poly = np.array([[2.0, 2.0], [20.0, 2.0], [20.0, 15.0], [2.0, 15.0]])
+    gx, gy = np.meshgrid(np.arange(25, dtype=float),
+                         np.arange(20, dtype=float))
+    got = nb.points_in_polygon(poly, gx.ravel(), gy.ravel())
+    ref = cops.points_in_polygon_host(poly, gx.ravel(), gy.ravel())
+    np.testing.assert_array_equal(got, ref)
