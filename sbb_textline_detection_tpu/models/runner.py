@@ -338,6 +338,136 @@ class SegmentationModel:
         labels = pack_ops.unpack2_host(packed, (ny * sh, nx * sw))
         return labels[:h, :w]
 
+    def predict_dual_tiled(self, other: "SegmentationModel",
+                           img_u8: np.ndarray, margin_ratio: float = 0.1,
+                           morph: Optional[MorphSpec] = None,
+                           mask_class: Optional[int] = None,
+                           post_morph: Optional[MorphSpec] = None
+                           ) -> Tuple[np.ndarray, np.ndarray]:
+        """Run BOTH segmentation passes of the pipeline's crop in ONE
+        dispatch: `self` (the region model) sees the device-Otsu-binarized
+        tiles (reference otsu_copy + patch predict, main.py:439-454), with
+        its label morph / class mask / mask morph fused (main.py:2074-2075,
+        457-464); `other` (the textline model) sees the raw tiles
+        (main.py:490-503). Tiles are extracted once, the two stitched
+        canvases return as one 2-bit-packed buffer — on this serving
+        environment's ~20 MB/s device->host path with ~70 ms per-transfer
+        latency, halving pads/uploads/dispatches/transfers is worth
+        ~1 s/page. Returns (region_mask_01, textline_labels)."""
+        if self.input_hw != other.input_hw:
+            raise ValueError("dual tiled predict needs identical geometry")
+        h, w = img_u8.shape[:2]
+        mh, mw = self.input_hw
+        margin = int(margin_ratio * mw)
+        sh, sw = mh - 2 * margin, mw - 2 * margin
+        gb = max(1, self.runtime.grid_bucket)
+        ny = -(-max(1, -(-h // sh)) // gb) * gb
+        nx = -(-max(1, -(-w // sw)) // gb) * gb
+        img = np.pad(img_u8,
+                     ((margin, ny * sh - h + margin),
+                      (margin, nx * sw - w + margin), (0, 0)),
+                     constant_values=255)
+        compiled, flops = self._dual_tiled_fn(
+            other, ny, nx, margin, tuple(morph or ()), mask_class,
+            tuple(post_morph or ()), img)
+        ohw = np.asarray([h, w], np.int32)
+        with stagetime.device_section(flops):
+            packed = np.asarray(compiled(self.variables, other.variables,
+                                         jnp.asarray(img), ohw))
+        both = pack_ops.unpack2_host(packed, (2 * ny * sh, nx * sw))
+        return both[:h, :w], both[ny * sh:ny * sh + h, :w]
+
+    def _dual_tiled_fn(self, other: "SegmentationModel", ny: int, nx: int,
+                       margin: int, morph: MorphSpec,
+                       mask_class: Optional[int], post_morph: MorphSpec,
+                       example_img: np.ndarray):
+        key = ("dual", id(other), ny, nx, margin, morph, mask_class,
+               post_morph)
+        entry = self._tiled_cache.get(key)
+        if entry is not None:
+            return entry
+
+        mh, mw = self.input_hw
+        sh, sw = mh - 2 * margin, mw - 2 * margin
+        n = ny * nx
+        chunk = min(self.runtime.tile_chunk, n)
+        quantum = (int(self.mesh.shape["data"]) if self.mesh is not None
+                   else chunk)
+        n_pad = ((n + quantum - 1) // quantum) * quantum
+        jj, ii = np.meshgrid(np.arange(ny), np.arange(nx), indexing="ij")
+        y0 = np.concatenate([(jj.ravel() * sh), np.zeros(n_pad - n, np.int64)])
+        x0 = np.concatenate([(ii.ravel() * sw), np.zeros(n_pad - n, np.int64)])
+        module_r = self._module
+        module_t = other._module
+        mesh = self.mesh
+
+        def stitch(labels):
+            labels = labels.reshape(n_pad, mh, mw)[:n]
+            slabs = labels[:, margin:margin + sh, margin:margin + sw]
+            return (slabs.reshape(ny, nx, sh, sw)
+                    .transpose(0, 2, 1, 3)
+                    .reshape(ny * sh, nx * sw))
+
+        def fn(vars_r, vars_t, img_u8, ohw):
+            from sbb_textline_detection_tpu.ops import threshold
+            ph, pw = img_u8.shape[:2]
+            iy = jnp.arange(ph, dtype=jnp.int32)[:, None]
+            ix = jnp.arange(pw, dtype=jnp.int32)[None, :]
+            inside = ((iy >= margin) & (iy < margin + ohw[0])
+                      & (ix >= margin) & (ix < margin + ohw[1]))
+            t = threshold.otsu_threshold_masked(img_u8[..., 0], inside)
+
+            y0a = jnp.asarray(y0, jnp.int32)
+            x0a = jnp.asarray(x0, jnp.int32)
+
+            def get_tile(yy, xx):
+                return jax.lax.dynamic_slice(img_u8, (yy, xx, 0), (mh, mw, 3))
+
+            tiles = jax.vmap(get_tile)(y0a, x0a)
+
+            def fwd_with(module, variables, pre_binarize):
+                def fwd(batch):
+                    if pre_binarize:
+                        # otsu_copy semantics: all 3 channels get channel
+                        # 0's binarization (main.py:191-193)
+                        ch0 = jnp.where(
+                            batch[..., 0].astype(jnp.int32) > t,
+                            jnp.float32(1.0), jnp.float32(0.0))
+                        x = jnp.repeat(ch0[..., None], 3, axis=-1)
+                    else:
+                        x = batch.astype(jnp.float32) / 255.0
+                    logits = module.apply(variables, x)
+                    return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+                return fwd
+
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+                tiles = jax.lax.with_sharding_constraint(
+                    tiles, NamedSharding(
+                        mesh, PartitionSpec("data", None, None, None)))
+                labels_r = fwd_with(module_r, vars_r, True)(tiles)
+                labels_t = fwd_with(module_t, vars_t, False)(tiles)
+            else:
+                chunked = tiles.reshape(n_pad // chunk, chunk, mh, mw, 3)
+                labels_r = jax.lax.map(fwd_with(module_r, vars_r, True),
+                                       chunked)
+                labels_t = jax.lax.map(fwd_with(module_t, vars_t, False),
+                                       chunked)
+            canvas_r = stitch(labels_r)
+            canvas_t = stitch(labels_t)
+            canvas_r = self._apply_morph(canvas_r, morph)
+            if mask_class is not None:
+                canvas_r = (canvas_r == np.uint8(mask_class)).astype(jnp.uint8)
+                canvas_r = self._apply_morph(canvas_r, post_morph)
+            return pack_ops.pack2_device(
+                jnp.concatenate([canvas_r, canvas_t], axis=0))
+
+        ohw_ex = np.zeros((2,), np.int32)
+        entry = self._aot(jax.jit(fn), self.variables, other.variables,
+                          example_img, ohw_ex)
+        self._tiled_cache[key] = entry
+        return entry
+
     def predict_tiled_host(self, img_u8: np.ndarray,
                            margin_ratio: float = 0.1) -> np.ndarray:
         """Reference-exact host-stitched patch mode (parity oracle for

@@ -151,7 +151,7 @@ def _radon_profiles_batched(canvases: jax.Array, angles: jax.Array,
 def _score_profiles(P: jax.Array, sigma: float = 2.0,
                     multiplier: float = 20.3, pos_min: float = 10.0
                     ) -> Tuple[jax.Array, jax.Array]:
-    """Per-profile (valid, score) from (..., S) projections."""
+    """Stacked (2, ...) float32: [valid (0/1), score] per profile."""
     s_len = P.shape[-1]
     z = profiles.gaussian_filter1d(P, sigma)
 
@@ -181,7 +181,9 @@ def _score_profiles(P: jax.Array, sigma: float = 2.0,
     # upstream: an indexing error is caught and the angle is kept with
     # variance 0 (main.py:1647-1650)
     score = jnp.where(any_oob, 0.0, var)
-    return valid | any_oob, score
+    # one stacked f32 result = one device->host transfer (the tunnel pays
+    # ~70 ms latency per transfer)
+    return jnp.stack([(valid | any_oob).astype(jnp.float32), score])
 
 
 class DeskewEngine:
@@ -255,12 +257,12 @@ class DeskewEngine:
             P = radon(jnp.asarray(canvases), jnp.asarray(angles),
                       jnp.asarray(ridx, jnp.int32),
                       jnp.asarray(aidx, jnp.int32))
-            valid, score = _score_profiles(
+            vs = np.asarray(_score_profiles(
                 P, sigma=float(self.cfg.sigma),
                 multiplier=float(self.cfg.peak_threshold_multiplier),
-                pos_min=float(self.cfg.pos_peak_min_value))
-            valid = np.asarray(valid)[:f].reshape(r, a)
-            score = np.asarray(score)[:f].reshape(r, a)
+                pos_min=float(self.cfg.pos_peak_min_value)))
+            valid = vs[0, :f].reshape(r, a) != 0.0
+            score = vs[1, :f].reshape(r, a)
         out = []
         for i in range(r):
             v = valid[i]

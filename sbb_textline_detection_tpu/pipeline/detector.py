@@ -107,29 +107,50 @@ class TextlineDetector:
         textline_mask = None
         stagetime.reset()
         t1 = time.time()
+        fused = None
         try:
-            region_mask = stages.extract_text_regions(
+            fused = stages.extract_regions_and_textline(
                 image_page, self.models, cfg)
         except Exception:
-            LOG.warning("region model failed for %s; degrading to empty "
-                        "regions", image_filename, exc_info=True)
-            region_mask = None
-        t["region_extraction_model"] = time.time() - t1
-        dev["region_extraction"], f = stagetime.snapshot()
-        flops += f
-        if region_mask is not None:
-            stagetime.reset()
-            t2 = time.time()
+            LOG.warning("fused segmentation failed for %s; retrying the "
+                        "separate per-model path", image_filename,
+                        exc_info=True)
+            fused = None
+        if fused is not None:
+            # one dispatch covered both stages; attribute the cost to
+            # region_extraction and the (tiny) remainder to textlines so
+            # stage keys stay comparable across runs
+            region_mask, textline_mask = fused
+            t["region_extraction_model"] = time.time() - t1
+            dev["region_extraction"], f = stagetime.snapshot()
+            flops += f
+            t["textlines"] = 0.0
+            dev["textlines"] = 0.0
+        else:
             try:
-                textline_mask = stages.textline_mask_total(
+                region_mask = stages.extract_text_regions(
                     image_page, self.models, cfg)
             except Exception:
-                LOG.warning("textline model failed for %s; degrading to "
-                            "empty regions", image_filename, exc_info=True)
-                textline_mask = None
-            t["textlines"] = time.time() - t2
-            dev["textlines"], f = stagetime.snapshot()
+                LOG.warning("region model failed for %s; degrading to empty "
+                            "regions", image_filename, exc_info=True)
+                region_mask = None
+            t["region_extraction_model"] = time.time() - t1
+            dev["region_extraction"], f = stagetime.snapshot()
             flops += f
+            if region_mask is not None:
+                stagetime.reset()
+                t2 = time.time()
+                try:
+                    textline_mask = stages.textline_mask_total(
+                        image_page, self.models, cfg)
+                except Exception:
+                    LOG.warning("textline model failed for %s; degrading to "
+                                "empty regions", image_filename,
+                                exc_info=True)
+                    textline_mask = None
+                t["textlines"] = time.time() - t2
+                dev["textlines"], f = stagetime.snapshot()
+                flops += f
         return _DeviceState(image_filename, scaled, image_page, page_coord,
                             cont_page, region_mask, textline_mask, t, dev,
                             flops)

@@ -166,6 +166,27 @@ def _accepts_kwarg(fn, name: str) -> bool:
                for p in sig.parameters.values())
 
 
+def extract_regions_and_textline(image_page: np.ndarray, models: ModelBundle,
+                                 cfg: PipelineConfig):
+    """Fused region+textline segmentation: one pad, one upload, one device
+    dispatch, one packed transfer for both model passes (predict_dual_tiled).
+    Returns (region_mask, textline_labels), or None when the bundle can't
+    fuse (duck-typed models, mismatched geometry) — the caller then runs
+    extract_text_regions / textline_mask_total separately."""
+    region, textline = models.region, models.textline
+    if not (hasattr(region, "predict_dual_tiled")
+            and hasattr(textline, "input_hw")
+            and getattr(region, "input_hw", None) == textline.input_hw):
+        return None
+    k = cfg.morphology.kernel_size
+    return region.predict_dual_tiled(
+        textline, image_page.astype(np.uint8), cfg.tiling.margin_ratio,
+        morph=(("erode", k, cfg.morphology.region_erode_iterations),
+               ("dilate", k, cfg.morphology.region_dilate_iterations)),
+        mask_class=cfg.region.text_class_value,
+        post_morph=(("open", k, 1), ("close", k, 1)))
+
+
 def region_contours_and_boxes(region_mask: np.ndarray, cfg: PipelineConfig
                               ) -> Tuple[List[np.ndarray], List[List[int]]]:
     """Text-region contours (main.py:465-481) from the shaped binary mask

@@ -204,3 +204,26 @@ def test_h5_import_fills_resnet50_unet(tmp_path):
     img = np.zeros((1, 64, 64, 3), np.uint8)
     labels = m.predict_labels(img)
     assert labels.shape == (1, 64, 64)
+
+
+def test_predict_dual_tiled_matches_separate_paths():
+    """One fused dispatch for (region, textline) must equal the separate
+    pre_otsu region pass and raw textline pass bit for bit."""
+    variables_r = registry.init_variables(TINY, seed=0)
+    variables_t = registry.init_variables(TINY, seed=1)
+    from sbb_textline_detection_tpu.core.config import RuntimeConfig
+    rt = RuntimeConfig(batch_buckets=(2, 4, 8))
+    m_r = runner.SegmentationModel(TINY, variables_r, rt)
+    m_t = runner.SegmentationModel(TINY, variables_t, rt)
+    rng = np.random.default_rng(11)
+    img = np.where(rng.uniform(size=(150, 131, 3)) < 0.3, 40, 230
+                   ).astype(np.uint8)
+    morph = (("erode", 3, 1), ("dilate", 3, 2))
+    post = (("open", 3, 1), ("close", 3, 1))
+    mask_d, lines_d = m_r.predict_dual_tiled(
+        m_t, img, morph=morph, mask_class=1, post_morph=post)
+    mask_s = m_r.predict_tiled(img, morph=morph, pre_otsu=True,
+                               mask_class=1, post_morph=post)
+    lines_s = m_t.predict_tiled(img)
+    np.testing.assert_array_equal(mask_d, mask_s)
+    np.testing.assert_array_equal(lines_d, lines_s)
