@@ -83,6 +83,60 @@ def test_list_pairs_requires_matches(tmp_path):
         data_mod.list_pairs(str(tmp_path / "img"), str(tmp_path / "lab"))
 
 
+def test_mesh_train_step_matches_single_device():
+    """Numeric SPMD parity: one train step on the (4,2) data+tensor-parallel
+    mesh produces the same loss and updated params as the unsharded
+    single-device step on identical data and init (VERDICT r01 task 8)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sbb_textline_detection_tpu.parallel import mesh as mesh_mod
+
+    import optax
+
+    spec = registry.ModelSpec("tp_parity", "tpu_unet", 32, 32, 3,
+                              widths=(8, 16))
+    variables = registry.init_variables(spec, seed=3)
+    # SGD, not adam: after a single adam step the update is lr*sign(grad)
+    # for every param, so an epsilon-level grad difference near zero flips
+    # to a full 2*lr param difference — a numerics red herring. SGD keeps
+    # the comparison proportional to the actual gradient agreement.
+    tx = optax.sgd(1e-2)
+    opt_state = jax.jit(tx.init)(variables)
+    rng = np.random.default_rng(7)
+    images, labels = train.synthetic_batch(rng, 8, 32, 32, 3)
+    step = train.make_train_step(spec, tx)
+
+    # Reference: plain single-device jit (implicitly device 0, replicated).
+    v1, _, loss1 = jax.jit(step)(variables, opt_state,
+                                 jnp.asarray(images), jnp.asarray(labels))
+    loss1 = float(loss1)
+
+    # Mesh: batch sharded over data=4, conv output channels over model=2.
+    mesh = mesh_mod.make_mesh(jax.devices()[:8], model_parallel=2)
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+    vs = mesh_mod.param_shardings(mesh, variables)
+    v_sharded = mesh_mod.shard_tree(variables, vs)
+    imgs_s = jax.device_put(jnp.asarray(images), mesh_mod.batch_sharding(mesh))
+    labs_s = jax.device_put(jnp.asarray(labels), mesh_mod.label_sharding(mesh))
+    opt_sharded = jax.jit(tx.init)(v_sharded)
+    v2, _, loss2 = jax.jit(step)(v_sharded, opt_sharded, imgs_s, labs_s)
+    loss2 = float(loss2)
+
+    # TP kernels actually sharded (not a degenerate replicated mesh).
+    kernels = [s for p, s in jax.tree_util.tree_flatten_with_path(vs)[0]
+               if "model" in str(s.spec)]
+    assert kernels, "no parameter picked up a model-axis sharding"
+
+    np.testing.assert_allclose(loss2, loss1, rtol=1e-5)
+    flat1 = jax.tree_util.tree_leaves(jax.tree_util.tree_map(np.asarray, v1))
+    flat2 = jax.tree_util.tree_leaves(jax.tree_util.tree_map(np.asarray, v2))
+    # Sharded psum reassociates float32 reductions; observed cross-device
+    # noise is <=7e-6 absolute on O(0.1) params.
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=2e-5)
+
+
 @pytest.mark.slow
 def test_training_cli_resume(tmp_path, monkeypatch):
     """--save-every writes mid-run checkpoints; --resume restarts from the
