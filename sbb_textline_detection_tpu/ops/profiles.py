@@ -33,24 +33,39 @@ import numpy as np
 # ---------------------------------------------------------------------------
 
 def gaussian_kernel1d(sigma: float, truncate: float = 4.0) -> np.ndarray:
-    """Normalized Gaussian taps with scipy's radius rule."""
+    """Normalized Gaussian taps, bit-identical to scipy's _gaussian_kernel1d
+    (integer x**2 scaled by -0.5/sigma**2 — the op order matters for
+    downstream find_peaks tie-breaking)."""
     sigma = float(sigma)
     radius = int(truncate * sigma + 0.5)
-    x = np.arange(-radius, radius + 1, dtype=np.float64)
-    w = np.exp(-0.5 * (x / sigma) ** 2)
+    sigma2 = sigma * sigma
+    x = np.arange(-radius, radius + 1)
+    w = np.exp(-0.5 / sigma2 * x ** 2)
     return w / w.sum()
 
 
 def gaussian_filter1d_host(y: np.ndarray, sigma: float, truncate: float = 4.0) -> np.ndarray:
-    """scipy.ndimage.gaussian_filter1d equivalent (mode='reflect')."""
+    """scipy.ndimage.gaussian_filter1d BIT-exact equivalent (mode='reflect').
+
+    Matches scipy's ni_correlate1d symmetric-kernel path: center tap first,
+    then (left + right) * weight pairs added farthest-first. Exactness
+    matters: the line separator's find_peaks runs on these profiles, and a
+    1-ulp difference at a plateau moves a peak index (tests/test_lines_oracle
+    compares box-for-box against a scipy-based transcription).
+    """
     y = np.asarray(y, dtype=np.float64)
     w = gaussian_kernel1d(sigma, truncate)
     radius = (len(w) - 1) // 2
     if radius == 0:
         return y.copy()
+    n = y.shape[0]
     # scipy 'reflect' == numpy 'symmetric' (edge value repeated):  d c b a | a b c d
     ypad = np.pad(y, radius, mode="symmetric")
-    return np.convolve(ypad, w, mode="valid")
+    out = ypad[radius:radius + n] * w[radius]
+    for j in range(radius, 0, -1):
+        out += (ypad[radius - j:radius - j + n]
+                + ypad[radius + j:radius + j + n]) * w[radius - j]
+    return out
 
 
 def local_maxima_host(y: np.ndarray) -> np.ndarray:

@@ -9,6 +9,7 @@ stage bodies do.
 from __future__ import annotations
 
 import dataclasses
+import logging
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -22,6 +23,8 @@ from sbb_textline_detection_tpu.ops import rotate as rotate_ops
 from sbb_textline_detection_tpu.ops import threshold
 from sbb_textline_detection_tpu.pipeline import lines as lines_mod
 from sbb_textline_detection_tpu.pipeline.deskew import DeskewEngine
+
+logger = logging.getLogger(__name__)
 
 
 @dataclasses.dataclass
@@ -274,6 +277,10 @@ def slopes_and_lines(contours: List[np.ndarray], boxes: List[List[int]],
     try:
         raw_slopes = engine.best_angles(crops)
     except Exception:
+        logger.warning(
+            "deskew sweep failed for %d regions; using slope 0 "
+            "(reference sentinel path, main.py:1744-1747)",
+            len(crops), exc_info=True)
         raw_slopes = [cfg.deskew.slope_sentinel] * len(crops)
     slopes: List[float] = []
     all_lines: List[List[np.ndarray]] = []
