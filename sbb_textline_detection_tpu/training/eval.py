@@ -61,6 +61,50 @@ class LayoutScore:
     mean_region_iou: float
     line_count_mae: float
     matched: int
+    line_recall: float = float("nan")
+
+
+def _truth_box_in_page_frame(box, layout):
+    """Axis-aligned bbox of the (possibly skew-rotated) ground-truth box in
+    the frame of the rendered page image."""
+    skew = getattr(layout, "skew_deg", 0.0)
+    if not skew:
+        return box
+    from sbb_textline_detection_tpu.utils.synthetic import rotate_points
+    x0, y0, x1, y1 = box
+    h, w = layout.size
+    corners = rotate_points(
+        np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]]), h, w, skew)
+    return (corners[:, 0].min(), corners[:, 1].min(),
+            corners[:, 0].max(), corners[:, 1].max())
+
+
+def _line_recall(pred_line_polys, layout) -> float:
+    """Fraction of ground-truth lines whose center (mapped into the skewed
+    page frame) falls inside some predicted TextLine polygon."""
+    line_boxes = getattr(layout, "line_boxes", [])
+    if not line_boxes:
+        return float("nan")
+    from sbb_textline_detection_tpu.ops import contours as contour_ops
+    from sbb_textline_detection_tpu.utils.synthetic import rotate_points
+
+    centers = np.asarray([[(x0 + x1) / 2.0, (y0 + y1) / 2.0]
+                          for x0, y0, x1, y1 in line_boxes])
+    skew = getattr(layout, "skew_deg", 0.0)
+    if skew:
+        h, w = layout.size
+        centers = rotate_points(centers, h, w, skew)
+    covered = np.zeros(len(centers), bool)
+    for poly in pred_line_polys:
+        if len(poly) < 3:
+            continue
+        todo = ~covered
+        if not todo.any():
+            break
+        inside = contour_ops.points_in_polygon(
+            poly, centers[todo, 0], centers[todo, 1])
+        covered[np.flatnonzero(todo)[inside]] = True
+    return float(covered.mean())
 
 
 def evaluate_layout(result, layout, iou_threshold: float = 0.4
@@ -70,12 +114,16 @@ def evaluate_layout(result, layout, iou_threshold: float = 0.4
     Predicted region polygons are in the working frame offset by the page
     crop; they are mapped back to scan-space through page_coord and the
     result's stored scales (the same mapping the PAGE-XML writer applies).
+    Skewed pages (layout.skew_deg != 0) rotate the ground truth into the
+    page frame before matching; line recall additionally checks that each
+    ground-truth line center lies inside some predicted TextLine polygon.
     """
     # Region coords are read from the result's PAGE-XML tree — already
     # mapped to scan space by the writer.
     root = result.xml_tree.getroot()
     pred_boxes = []
     pred_lines = []
+    pred_line_polys = []
     for region in root.iter():
         if not region.tag.endswith("TextRegion"):
             continue
@@ -84,9 +132,20 @@ def evaluate_layout(result, layout, iou_threshold: float = 0.4
                           for p in coords.get("points").split()])
         pred_boxes.append((pts[:, 0].min(), pts[:, 1].min(),
                            pts[:, 0].max(), pts[:, 1].max()))
-        pred_lines.append(sum(1 for l in region if l.tag.endswith("TextLine")))
+        n_in_region = 0
+        for line in region:
+            if not line.tag.endswith("TextLine"):
+                continue
+            n_in_region += 1
+            lc = next((c for c in line if c.tag.endswith("Coords")), None)
+            if lc is not None:
+                pred_line_polys.append(np.asarray(
+                    [[float(v) for v in p.split(",")]
+                     for p in lc.get("points").split()]))
+        pred_lines.append(n_in_region)
 
-    truth_boxes = [(x0, y0, x1, y1) for x0, y0, x1, y1 in layout.paragraphs]
+    truth_boxes = [_truth_box_in_page_frame(b, layout)
+                   for b in layout.paragraphs]
     matched_t = set()
     matched_p = set()
     ious = []
@@ -111,4 +170,5 @@ def evaluate_layout(result, layout, iou_threshold: float = 0.4
         mean_region_iou=float(np.mean(ious)) if ious else 0.0,
         line_count_mae=float(np.mean(line_err)) if line_err else float("nan"),
         matched=len(matched_t),
+        line_recall=_line_recall(pred_line_polys, layout),
     )

@@ -21,16 +21,43 @@ import numpy as np
 
 @dataclasses.dataclass
 class PageLayout:
-    """Ground truth for one synthetic page (scan-scale pixel coords)."""
+    """Ground truth for one synthetic page (scan-scale pixel coords).
+
+    `paragraphs`/`line_boxes` are recorded in the UPRIGHT frame; when
+    `skew_deg` != 0 the page image was rotated after rendering, and
+    `rotate_points` maps upright ground truth into the skewed frame.
+    """
     printspace: Tuple[int, int, int, int]          # x0, y0, x1, y1
     paragraphs: List[Tuple[int, int, int, int]]    # x0, y0, x1, y1 per block
     n_lines: List[int]                             # lines per paragraph
+    line_boxes: List[Tuple[int, int, int, int]] = dataclasses.field(
+        default_factory=list)                      # per line, upright frame
+    skew_deg: float = 0.0                          # PIL CCW rotation applied
+    size: Tuple[int, int] = (0, 0)                 # (h, w)
+
+
+def rotate_points(pts: np.ndarray, h: int, w: int,
+                  skew_deg: float) -> np.ndarray:
+    """Map upright-frame points into the frame of a page rotated with
+    PIL Image.rotate(skew_deg) (CCW about the center, same canvas)."""
+    pts = np.asarray(pts, np.float64)
+    if skew_deg == 0.0:
+        return pts
+    th = np.deg2rad(skew_deg)
+    c = np.array([w / 2.0, h / 2.0])
+    M = np.array([[np.cos(th), np.sin(th)], [-np.sin(th), np.cos(th)]])
+    return (pts - c) @ M.T + c
 
 
 def make_page(rng: np.random.Generator, h: int = 3508, w: int = 2480,
-              n_columns: int | None = None) -> Tuple[np.ndarray, PageLayout]:
+              n_columns: int | None = None, skew_deg: float = 0.0
+              ) -> Tuple[np.ndarray, PageLayout]:
     """A 300-DPI-like scanned page: light paper, dark text-line strokes in
     1-2 columns of paragraphs, realistic margins. Returns (RGB uint8, truth).
+
+    With `skew_deg` != 0 the rendered page is rotated (bilinear, paper
+    fill) like a crooked scan; ground truth stays in the upright frame
+    with the angle recorded (see PageLayout).
     """
     paper = int(rng.integers(235, 252))
     img = np.full((h, w, 3), paper, np.uint8)
@@ -51,6 +78,7 @@ def make_page(rng: np.random.Generator, h: int = 3508, w: int = 2480,
     pitch = line_h + int(rng.integers(14, 26))     # line pitch
     paragraphs: List[Tuple[int, int, int, int]] = []
     n_lines: List[int] = []
+    line_boxes: List[Tuple[int, int, int, int]] = []
     for ci in range(n_columns):
         cx0 = ps[0] + ci * (col_w + col_gap)
         y = ps[1]
@@ -66,6 +94,7 @@ def make_page(rng: np.random.Generator, h: int = 3508, w: int = 2480,
                 x1 = cx0 + col_w - int(rng.integers(0, col_w // 4)
                                        if li == k - 1 else rng.integers(0, line_h))
                 img[ly:ly + line_h, x0:x1] = ink
+                line_boxes.append((x0, ly, x1, ly + line_h))
                 # word gaps so strokes look like text, not solid bars
                 n_gaps = max(1, (x1 - x0) // int(rng.integers(180, 400)))
                 for _ in range(n_gaps):
@@ -74,7 +103,13 @@ def make_page(rng: np.random.Generator, h: int = 3508, w: int = 2480,
             paragraphs.append((cx0, y, cx0 + col_w, y + k * pitch - (pitch - line_h)))
             n_lines.append(k)
             y += k * pitch + int(rng.integers(pitch, 3 * pitch))
-    return img, PageLayout(ps, paragraphs, n_lines)
+    if skew_deg != 0.0:
+        from PIL import Image
+        img = np.asarray(Image.fromarray(img).rotate(
+            skew_deg, resample=Image.BILINEAR,
+            fillcolor=(paper, paper, paper)))
+    return img, PageLayout(ps, paragraphs, n_lines, line_boxes,
+                           skew_deg, (h, w))
 
 
 # ---------------------------------------------------------------------------

@@ -177,3 +177,62 @@ def test_blank_page_valid_xml(detector, tmp_path):
     root = _parse(path).getroot()
     assert root.tag == "PcGts"
     assert root.find("Page/Border/Coords") is not None
+
+
+def _skewed_stripe_page(skew_deg, h=700, w=500, n=8, stripe_h=20, pitch=55):
+    """White page, n full-width dark stripes, rotated like a crooked scan."""
+    from PIL import Image
+    img = np.full((h, w, 3), 255, np.uint8)
+    for i in range(n):
+        y = 80 + i * pitch
+        img[y:y + stripe_h, 60:w - 60] = 20
+    out = Image.fromarray(img).rotate(skew_deg, resample=Image.BILINEAR,
+                                      fillcolor=(255, 255, 255))
+    return np.asarray(out)
+
+
+def test_skewed_page_triggers_deskew_and_straight_lines(detector):
+    """A +4° crooked scan must drive the deskew sweep to a nonzero negative
+    correction angle and still split every stripe into its own line
+    (reference behavior under skew: main.py:1601-1718 + 1472-1517)."""
+    page = _skewed_stripe_page(4.0)
+    res = detector.process_image(page, "skewed.png")
+    assert len(res.contours) == 1
+    assert len(res.slopes) == 1
+    # coarse grid in the test fixture is 50/19 = 2.6°; the corrector for a
+    # +4° CCW rotation is the nearest grid angles around -4
+    assert -7.0 <= res.slopes[0] <= -1.5, res.slopes
+    assert len(res.textlines[0]) == 8
+    # emitted quads must track the skew: for a CCW-rotated page the right
+    # end of each line sits higher (smaller y) than the left end. Corner
+    # order is (up-left, up-right, down-right, down-left) — main.py:812-815.
+    quad = res.textlines[0][0]
+    assert quad[1, 1] < quad[0, 1], quad
+
+
+def test_vertical_text_page_takes_vertical_path(detector):
+    """Vertical stripes: the deskew sweep's |angle|>15 re-sweep lands in
+    [-90,-50] (main.py:1669-1714) and the line splitter dispatches its
+    vertical variant (main.py:1514-1517).
+
+    Reference-faithful outcome: the vertical path self-defeats upstream —
+    the mask is first rotated BY the slope (main.py:1485), turning vertical
+    lines horizontal, then seperate_lines_vertical profiles axis=0
+    (main.py:1020), which is flat for horizontal content; the degenerate
+    profile hits the unbound single-peak branch (main.py:1298-1301) or
+    yields no peaks, and the blanket except returns no lines
+    (main.py:1520-1522). Parity assertion: the vertical sweep fired
+    (slope ~ -90) and zero lines were emitted."""
+    h, w = 700, 500
+    img = np.full((h, w, 3), 255, np.uint8)
+    # stripe gap (25 px page scale -> 30 working) stays under the fake
+    # region model's 41-px closing window so the column reads as ONE region
+    for i in range(5):
+        x = 140 + i * 45
+        img[60:h - 60, x:x + 20] = 20
+    res = detector.process_image(img, "vertical.png")
+    assert len(res.contours) == 1
+    slope = res.slopes[0]
+    assert abs(slope) > DEFAULT_CONFIG.deskew.vertical_line_split_abs, slope
+    assert -95.0 <= slope <= -50.0, slope
+    assert res.textlines[0] == []
