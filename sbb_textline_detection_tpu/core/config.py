@@ -149,6 +149,10 @@ class RuntimeConfig:
     # Use the exact point-in-polygon test against traced contours (reference
     # semantics) instead of the rasterized-mask fast path.
     exact_point_in_polygon: bool = True
+    # Pages folded into one fused segmentation dispatch by process_batch
+    # (pages x tiles as the forward batch dim; SURVEY §2.4's data-parallel
+    # pages). 1 disables grouping.
+    pages_per_dispatch: int = 2
 
 
 @dataclasses.dataclass(frozen=True)

@@ -377,6 +377,188 @@ class SegmentationModel:
         both = pack_ops.unpack2_host(packed, (2 * ny * sh, nx * sw))
         return both[:h, :w], both[ny * sh:ny * sh + h, :w]
 
+    def grid_for(self, h: int, w: int, margin_ratio: float = 0.1
+                 ) -> Tuple[int, int]:
+        """(ny, nx) tile grid this model's tiled paths use for an (h, w)
+        image — the grouping key for multi-page fused dispatch (pages in
+        one group must share a grid so results stay bit-identical to their
+        single-page dispatches)."""
+        mh, mw = self.input_hw
+        margin = int(margin_ratio * mw)
+        sh, sw = mh - 2 * margin, mw - 2 * margin
+        gb = max(1, self.runtime.grid_bucket)
+        ny = -(-max(1, -(-h // sh)) // gb) * gb
+        nx = -(-max(1, -(-w // sw)) // gb) * gb
+        return ny, nx
+
+    def predict_dual_tiled_multi(self, other: "SegmentationModel",
+                                 imgs, margin_ratio: float = 0.1,
+                                 morph: Optional[MorphSpec] = None,
+                                 mask_class: Optional[int] = None,
+                                 post_morph: Optional[MorphSpec] = None):
+        """Multi-page fused segmentation: fold K pages' tiles into ONE
+        device dispatch (pages x tiles as the forward batch dim, sharded
+        over the mesh's data axis when present — the data-parallel-pages
+        design of SURVEY §2.4). Per-page Otsu scopes are preserved: each
+        page binarizes against its own crop histogram exactly like the
+        single-page path. Returns [(region_mask_01, textline_labels), ...]
+        in input order, bit-identical to K predict_dual_tiled calls.
+
+        All pages must map to the SAME (ny, nx) grid bucket (grid_for):
+        padding a smaller page onto a larger group grid would move the
+        canvas border the fused morphology sees and change mask pixels
+        near the page edge relative to its single-page dispatch."""
+        if self.input_hw != other.input_hw:
+            raise ValueError("dual tiled predict needs identical geometry")
+        imgs = list(imgs)
+        if len(imgs) == 1:
+            return [self.predict_dual_tiled(other, imgs[0], margin_ratio,
+                                            morph, mask_class, post_morph)]
+        k = len(imgs)
+        mh, mw = self.input_hw
+        margin = int(margin_ratio * mw)
+        sh, sw = mh - 2 * margin, mw - 2 * margin
+        grids = {self.grid_for(im.shape[0], im.shape[1], margin_ratio)
+                 for im in imgs}
+        if len(grids) != 1:
+            raise ValueError(
+                f"pages span multiple tile grids {sorted(grids)}; group "
+                "pages by grid_for() before fusing")
+        ny, nx = grids.pop()
+        stacked = np.stack([
+            np.pad(im, ((margin, ny * sh - im.shape[0] + margin),
+                        (margin, nx * sw - im.shape[1] + margin), (0, 0)),
+                   constant_values=255) for im in imgs])
+        compiled, flops = self._dual_tiled_multi_fn(
+            other, k, ny, nx, margin, tuple(morph or ()), mask_class,
+            tuple(post_morph or ()), stacked)
+        ohw = np.asarray([[im.shape[0], im.shape[1]] for im in imgs],
+                         np.int32)
+        with stagetime.device_section(flops):
+            packed = np.asarray(compiled(self.variables, other.variables,
+                                         jnp.asarray(stacked), ohw))
+        big_h = ny * sh
+        both = pack_ops.unpack2_host(packed, (2 * k * big_h, nx * sw))
+        out = []
+        for i, im in enumerate(imgs):
+            h, w = im.shape[:2]
+            region = both[i * big_h:i * big_h + h, :w]
+            textline = both[(k + i) * big_h:(k + i) * big_h + h, :w]
+            out.append((region, textline))
+        return out
+
+    def _dual_tiled_multi_fn(self, other: "SegmentationModel", k: int,
+                             ny: int, nx: int, margin: int, morph: MorphSpec,
+                             mask_class: Optional[int],
+                             post_morph: MorphSpec, example_imgs: np.ndarray):
+        key = ("dual_multi", id(other), k, ny, nx, margin, morph, mask_class,
+               post_morph)
+        entry = self._tiled_cache.get(key)
+        if entry is not None:
+            return entry
+
+        mh, mw = self.input_hw
+        sh, sw = mh - 2 * margin, mw - 2 * margin
+        n = ny * nx
+        total = k * n
+        chunk = min(self.runtime.tile_chunk, total)
+        quantum = (int(self.mesh.shape["data"]) if self.mesh is not None
+                   else chunk)
+        n_pad = ((total + quantum - 1) // quantum) * quantum
+        jj, ii = np.meshgrid(np.arange(ny), np.arange(nx), indexing="ij")
+        y0 = jj.ravel() * sh
+        x0 = ii.ravel() * sw
+        module_r = self._module
+        module_t = other._module
+        mesh = self.mesh
+
+        def stitch(labels):
+            labels = labels.reshape(n_pad, mh, mw)[:total]
+            slabs = labels[:, margin:margin + sh, margin:margin + sw]
+            return (slabs.reshape(k, ny, nx, sh, sw)
+                    .transpose(0, 1, 3, 2, 4)
+                    .reshape(k, ny * sh, nx * sw))
+
+        def fn(vars_r, vars_t, imgs_u8, ohw):
+            from sbb_textline_detection_tpu.ops import threshold
+            ph, pw = imgs_u8.shape[1:3]
+            iy = jnp.arange(ph, dtype=jnp.int32)[:, None]
+            ix = jnp.arange(pw, dtype=jnp.int32)[None, :]
+
+            def page_thresh(img, hw):
+                inside = ((iy >= margin) & (iy < margin + hw[0])
+                          & (ix >= margin) & (ix < margin + hw[1]))
+                return threshold.otsu_threshold_masked(img[..., 0], inside)
+
+            ts = jax.vmap(page_thresh)(imgs_u8, ohw)          # (k,)
+
+            y0a = jnp.asarray(y0, jnp.int32)
+            x0a = jnp.asarray(x0, jnp.int32)
+
+            def page_tiles(img):
+                return jax.vmap(lambda yy, xx: jax.lax.dynamic_slice(
+                    img, (yy, xx, 0), (mh, mw, 3)))(y0a, x0a)
+
+            tiles = jax.vmap(page_tiles)(imgs_u8)             # (k,n,mh,mw,3)
+            tiles = tiles.reshape(total, mh, mw, 3)
+            t_tiles = jnp.repeat(ts, n)                       # (total,)
+            if n_pad > total:
+                tiles = jnp.concatenate(
+                    [tiles, jnp.zeros((n_pad - total, mh, mw, 3),
+                                      tiles.dtype)], axis=0)
+                t_tiles = jnp.concatenate(
+                    [t_tiles, jnp.zeros((n_pad - total,), t_tiles.dtype)])
+
+            def fwd_region(batch, tb):
+                # otsu_copy semantics per page (main.py:191-193): all 3
+                # channels get channel 0's binarization at that page's
+                # threshold
+                ch0 = jnp.where(
+                    batch[..., 0].astype(jnp.int32)
+                    > tb[:, None, None].astype(jnp.int32),
+                    jnp.float32(1.0), jnp.float32(0.0))
+                x = jnp.repeat(ch0[..., None], 3, axis=-1)
+                logits = module_r.apply(vars_r, x)
+                return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+
+            def fwd_textline(batch):
+                x = batch.astype(jnp.float32) / 255.0
+                logits = module_t.apply(vars_t, x)
+                return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+                tiles = jax.lax.with_sharding_constraint(
+                    tiles, NamedSharding(
+                        mesh, PartitionSpec("data", None, None, None)))
+                labels_r = fwd_region(tiles, t_tiles)
+                labels_t = fwd_textline(tiles)
+            else:
+                chunked = tiles.reshape(n_pad // chunk, chunk, mh, mw, 3)
+                t_chunked = t_tiles.reshape(n_pad // chunk, chunk)
+                labels_r = jax.lax.map(
+                    lambda bt: fwd_region(bt[0], bt[1]),
+                    (chunked, t_chunked))
+                labels_t = jax.lax.map(fwd_textline, chunked)
+            canvas_r = stitch(labels_r)                       # (k, H, W)
+            canvas_t = stitch(labels_t)
+            canvas_r = jax.vmap(
+                lambda c: self._apply_morph(c, morph))(canvas_r)
+            if mask_class is not None:
+                canvas_r = (canvas_r == np.uint8(mask_class)).astype(jnp.uint8)
+                canvas_r = jax.vmap(
+                    lambda c: self._apply_morph(c, post_morph))(canvas_r)
+            big_h, big_w = ny * sh, nx * sw
+            return pack_ops.pack2_device(jnp.concatenate(
+                [canvas_r.reshape(k * big_h, big_w),
+                 canvas_t.reshape(k * big_h, big_w)], axis=0))
+
+        ohw_ex = np.zeros((k, 2), np.int32)
+        entry = self._aot(jax.jit(fn), self.variables, other.variables,
+                          example_imgs, ohw_ex)
+        self._tiled_cache[key] = entry
+        return entry
+
     def _dual_tiled_fn(self, other: "SegmentationModel", ny: int, nx: int,
                        margin: int, morph: MorphSpec,
                        mask_class: Optional[int], post_morph: MorphSpec,

@@ -155,6 +155,78 @@ class TextlineDetector:
                             cont_page, region_mask, textline_mask, t, dev,
                             flops)
 
+    def device_phase_group(self, items) -> List[_DeviceState]:
+        """Device phase for a group of pages with the segmentation passes of
+        ALL pages folded into one dispatch (predict_dual_tiled_multi —
+        pages x tiles as the forward batch dim, SURVEY §2.4's data-parallel
+        pages). Page extraction stays per page (one small whole-image
+        forward each); group timings are attributed evenly across pages so
+        stage keys stay comparable with the single-page path. Any fused
+        failure falls back to the per-page device_phase."""
+        from sbb_textline_detection_tpu.utils import stagetime
+
+        items = list(items)
+        if len(items) <= 1:
+            return [self.device_phase(img, name) for img, name in items]
+        cfg = self.config
+
+        pre = []
+        for img, name in items:
+            stagetime.reset()
+            t0 = time.time()
+            scaled = stages.scale_image(img, cfg)
+            image_page, page_coord, cont_page = stages.extract_page(
+                scaled, self.models, cfg)
+            t_page = time.time() - t0
+            d_page, f_page = stagetime.snapshot()
+            pre.append((name, scaled, image_page, page_coord, cont_page,
+                        t_page, d_page, f_page))
+
+        # Pages fuse only with pages on the SAME tile grid: a smaller page
+        # padded onto a larger group grid would see a moved canvas border
+        # in the fused morphology and drift from its single-page result.
+        region = self.models.region
+        if not hasattr(region, "grid_for"):
+            return [self.device_phase(img, name) for img, name in items]
+        subgroups: Dict[tuple, List[int]] = {}
+        for idx, p in enumerate(pre):
+            key = region.grid_for(p[2].shape[0], p[2].shape[1],
+                                  cfg.tiling.margin_ratio)
+            subgroups.setdefault(key, []).append(idx)
+
+        states: List[Optional[_DeviceState]] = [None] * len(pre)
+        for idxs in subgroups.values():
+            stagetime.reset()
+            t1 = time.time()
+            fused = None
+            try:
+                fused = stages.extract_regions_and_textline_multi(
+                    [pre[i][2] for i in idxs], self.models, cfg)
+            except Exception:
+                LOG.warning("multi-page fused segmentation failed for %s; "
+                            "falling back to per-page device phases",
+                            [pre[i][0] for i in idxs], exc_info=True)
+                fused = None
+            if fused is None:
+                for i in idxs:
+                    states[i] = self.device_phase(items[i][0], items[i][1])
+                continue
+            t_share = (time.time() - t1) / len(idxs)
+            d_share, f_group = stagetime.snapshot()
+            d_share /= len(idxs)
+            f_share = f_group / len(idxs)
+            for i, (region_mask, textline_mask) in zip(idxs, fused):
+                (name, scaled, image_page, page_coord, cont_page,
+                 t_page, d_page, f_page) = pre[i]
+                t = {"page_extraction": t_page,
+                     "region_extraction_model": t_share, "textlines": 0.0}
+                dev = {"page_extraction": d_page,
+                       "region_extraction": d_share, "textlines": 0.0}
+                states[i] = _DeviceState(
+                    name, scaled, image_page, page_coord, cont_page,
+                    region_mask, textline_mask, t, dev, f_page + f_share)
+        return states
+
     # -- host-bound phase ------------------------------------------------------
     def host_phase(self, st: _DeviceState) -> PageResult:
         """Contours, deskew + line split, reading order, PAGE-XML."""
@@ -255,24 +327,39 @@ class TextlineDetector:
         """Pipelined batch: the device phase of upcoming pages runs on a
         prefetch thread while this thread does host post-processing —
         device dispatches block outside the GIL, so the single host core
-        interleaves both."""
+        interleaves both. Pages are grouped runtime.pages_per_dispatch at a
+        time so the segmentation passes of the whole group run as one
+        fused device dispatch (device_phase_group)."""
+        group_size = max(1, self.config.runtime.pages_per_dispatch)
+
+        def grouped():
+            buf = []
+            for item in images:
+                buf.append(item)
+                if len(buf) == group_size:
+                    yield buf
+                    buf = []
+            if buf:
+                yield buf
+
         with ThreadPoolExecutor(max_workers=1) as pool:
             pending = []
-            it = iter(images)
+            it = grouped()
             try:
                 for _ in range(max(1, prefetch)):
-                    img, name = next(it)
-                    pending.append(pool.submit(self.device_phase, img, name))
+                    pending.append(pool.submit(self.device_phase_group,
+                                               next(it)))
             except StopIteration:
                 pass
             while pending:
                 fut = pending.pop(0)
                 try:
-                    img, name = next(it)
-                    pending.append(pool.submit(self.device_phase, img, name))
+                    pending.append(pool.submit(self.device_phase_group,
+                                               next(it)))
                 except StopIteration:
                     pass
-                yield self.host_phase(fut.result())
+                for state in fut.result():
+                    yield self.host_phase(state)
 
     def run_file(self, image_path: str, dir_out: str,
                  f_name: Optional[str] = None) -> str:

@@ -190,6 +190,27 @@ def extract_regions_and_textline(image_page: np.ndarray, models: ModelBundle,
         post_morph=(("open", k, 1), ("close", k, 1)))
 
 
+def extract_regions_and_textline_multi(image_pages, models: ModelBundle,
+                                       cfg: PipelineConfig):
+    """Multi-page fused segmentation: K pages' tiles fold into one device
+    dispatch (runner.predict_dual_tiled_multi). Returns a list of
+    (region_mask, textline_labels) in input order, or None when the bundle
+    can't fuse — the caller then falls back to per-page paths."""
+    region, textline = models.region, models.textline
+    if not (hasattr(region, "predict_dual_tiled_multi")
+            and hasattr(textline, "input_hw")
+            and getattr(region, "input_hw", None) == textline.input_hw):
+        return None
+    k = cfg.morphology.kernel_size
+    return region.predict_dual_tiled_multi(
+        textline, [np.asarray(p, np.uint8) for p in image_pages],
+        cfg.tiling.margin_ratio,
+        morph=(("erode", k, cfg.morphology.region_erode_iterations),
+               ("dilate", k, cfg.morphology.region_dilate_iterations)),
+        mask_class=cfg.region.text_class_value,
+        post_morph=(("open", k, 1), ("close", k, 1)))
+
+
 def region_contours_and_boxes(region_mask: np.ndarray, cfg: PipelineConfig
                               ) -> Tuple[List[np.ndarray], List[List[int]]]:
     """Text-region contours (main.py:465-481) from the shaped binary mask

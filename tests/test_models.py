@@ -227,3 +227,38 @@ def test_predict_dual_tiled_matches_separate_paths():
     lines_s = m_t.predict_tiled(img)
     np.testing.assert_array_equal(mask_d, mask_s)
     np.testing.assert_array_equal(lines_d, lines_s)
+
+
+def test_predict_dual_tiled_multi_matches_per_page():
+    """K pages folded into one dispatch must reproduce K single-page fused
+    dispatches bit for bit — including pages of different sizes sharing one
+    padded group grid, and each page's own Otsu scope."""
+    variables_r = registry.init_variables(TINY, seed=0)
+    variables_t = registry.init_variables(TINY, seed=1)
+    from sbb_textline_detection_tpu.core.config import RuntimeConfig
+    rt = RuntimeConfig(batch_buckets=(2, 4, 8))
+    m_r = runner.SegmentationModel(TINY, variables_r, rt)
+    m_t = runner.SegmentationModel(TINY, variables_t, rt)
+    rng = np.random.default_rng(5)
+    # different sizes, same grid bucket (grid_for) — the grouping contract
+    pages = [
+        np.where(rng.uniform(size=(150, 131, 3)) < 0.3, 40, 230
+                 ).astype(np.uint8),
+        np.where(rng.uniform(size=(155, 140, 3)) < 0.5, 10, 250
+                 ).astype(np.uint8),
+        np.where(rng.uniform(size=(149, 130, 3)) < 0.2, 90, 200
+                 ).astype(np.uint8),
+    ]
+    assert len({m_r.grid_for(p.shape[0], p.shape[1]) for p in pages}) == 1
+    morph = (("erode", 3, 1), ("dilate", 3, 2))
+    post = (("open", 3, 1), ("close", 3, 1))
+    multi = m_r.predict_dual_tiled_multi(
+        m_t, pages, morph=morph, mask_class=1, post_morph=post)
+    assert len(multi) == 3
+    for i, page in enumerate(pages):
+        mask_s, lines_s = m_r.predict_dual_tiled(
+            m_t, page, morph=morph, mask_class=1, post_morph=post)
+        np.testing.assert_array_equal(multi[i][0], mask_s,
+                                      err_msg=f"page {i} region mask")
+        np.testing.assert_array_equal(multi[i][1], lines_s,
+                                      err_msg=f"page {i} textline labels")

@@ -59,3 +59,31 @@ def test_bundle_accepts_mesh(mesh8):
         RuntimeConfig(batch_buckets=(2,)),
         specs={"page": TINY, "region": TINY, "textline": TINY}, mesh=mesh8)
     assert bundle.region.mesh is mesh8
+
+
+def test_multi_page_fused_sharded_matches_unsharded(mesh8):
+    """Data-parallel pages (SURVEY §2.4): the multi-page fused program with
+    the pages x tiles batch sharded over the mesh's data axis must match
+    the unsharded multi-page program bit for bit. Pointwise stub network,
+    as in the single-page sharded test: a real conv's sharded reductions
+    reassociate float32 sums, so bit-exactness is only a meaningful claim
+    for the surrounding index machinery (tiling/stitch/Otsu/pack)."""
+    variables = registry.init_variables(TINY, seed=0)
+    rt = RuntimeConfig(batch_buckets=(2, 4, 8))
+    models = []
+    for mesh in (None, mesh8):
+        m_r = runner.SegmentationModel(TINY, variables, rt, mesh=mesh)
+        m_t = runner.SegmentationModel(TINY, variables, rt, mesh=mesh)
+        for m in (m_r, m_t):
+            m._module = _PointwiseStub()
+            m._tiled_cache.clear()
+        models.append((m_r, m_t))
+    rng = np.random.default_rng(9)
+    pages = [np.where(rng.uniform(size=(120, 100, 3)) < 0.4, 30, 220
+                      ).astype(np.uint8) for _ in range(2)]
+    (m_r, m_t), (m_r_s, m_t_s) = models
+    got = m_r_s.predict_dual_tiled_multi(m_t_s, pages, mask_class=1)
+    want = m_r.predict_dual_tiled_multi(m_t, pages, mask_class=1)
+    for i in range(2):
+        np.testing.assert_array_equal(got[i][0], want[i][0])
+        np.testing.assert_array_equal(got[i][1], want[i][1])
