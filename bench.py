@@ -116,13 +116,15 @@ def main() -> None:
     pages = [p for p, _ in pages_layouts]
     layouts = [l for _, l in pages_layouts]
 
-    # Warm-up pass over every page: compiles each distinct crop-shape
-    # variant once (persisted to the XLA compile cache for later runs);
-    # the timed pass then measures steady-state throughput.
+    # Warm-up pass over every page THROUGH THE BATCH PATH (the timed pass
+    # uses process_batch, whose grouped multi-page programs are distinct
+    # compilations from the single-page ones): compiles each grid/group
+    # shape once, persisted to the XLA compile cache for later runs.
     _log("[bench] warm-up pass (compilation)...")
     t0 = time.time()
-    for i, page in enumerate(pages):
-        detector.process_image(page, f"warmup_{i}.png")
+    for _ in detector.process_batch(
+            (p, f"warmup_{i}.png") for i, p in enumerate(pages)):
+        pass
     _log(f"[bench] warm-up took {time.time() - t0:.1f}s")
 
     # Timed pass uses the pipelined batch executor (the product's

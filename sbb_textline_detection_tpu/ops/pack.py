@@ -40,3 +40,46 @@ def unpack2_host(packed: np.ndarray, shape) -> np.ndarray:
     quads[:, 3] = (packed >> 6) & 3
     n = int(np.prod(shape))
     return quads.reshape(-1)[:n].reshape(shape)
+
+
+# ---------------------------------------------------------------------------
+# 1-bit variants for strictly binary data (8 pixels/byte): the fused
+# segmentation programs' outputs once class-masked, and the deskew sweep's
+# binary canvases on the upload side. Little-endian bit order throughout
+# (bit i of a byte = pixel 8k+i), matching np.packbits(bitorder="little").
+# ---------------------------------------------------------------------------
+
+_BIT_WEIGHTS = (1, 2, 4, 8, 16, 32, 64, 128)
+
+
+def pack1_device(bits: jax.Array) -> jax.Array:
+    """(...,) uint8 values in {0, 1} -> flat (ceil(n/8),) uint8 packed."""
+    flat = bits.reshape(-1).astype(jnp.uint8)
+    n = flat.shape[0]
+    pad = (-n) % 8
+    if pad:
+        flat = jnp.pad(flat, (0, pad))
+    octets = flat.reshape(-1, 8)
+    weights = jnp.asarray(_BIT_WEIGHTS, jnp.uint8)
+    return (octets * weights).sum(axis=1, dtype=jnp.uint8)
+
+
+def unpack1_host(packed: np.ndarray, shape) -> np.ndarray:
+    """Inverse of pack1_device: packed bytes -> uint8 {0,1} of `shape`."""
+    packed = np.asarray(packed, dtype=np.uint8)
+    n = int(np.prod(shape))
+    return np.unpackbits(packed, bitorder="little")[:n].reshape(shape)
+
+
+def pack1_host(bits: np.ndarray) -> np.ndarray:
+    """Host-side packer (h2d direction): {0,1} array -> flat packed bytes."""
+    return np.packbits(np.asarray(bits, np.uint8).reshape(-1),
+                       bitorder="little")
+
+
+def unpack1_device(packed: jax.Array, shape) -> jax.Array:
+    """Inverse of pack1_host, on device: packed bytes -> uint8 of `shape`."""
+    shifts = jnp.arange(8, dtype=jnp.uint8)
+    bits = (packed[:, None] >> shifts) & jnp.uint8(1)
+    n = int(np.prod(shape))
+    return bits.reshape(-1)[:n].reshape(shape)

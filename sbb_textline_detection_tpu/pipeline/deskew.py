@@ -86,11 +86,15 @@ def _aot_radon_score(canv_shape, n_angles: int, f_pad: int, s: int,
     key = (canv_shape, n_angles, f_pad, s, chunk, use_pallas)
     entry = _AOT_CACHE.get(key)
     if entry is None:
-        canv = jax.ShapeDtypeStruct(canv_shape, jnp.uint8)
+        r = canv_shape[0]
+        # canvases travel 1-bit packed (ops/pack.py): binary (R, S, S)
+        # uint8 would otherwise cost R*S^2 bytes per sweep group over the
+        # h2d tunnel (~8 MB per 8-region group at the 1024 bucket).
+        canv = jax.ShapeDtypeStruct(((r * s * s + 7) // 8,), jnp.uint8)
         ang = jax.ShapeDtypeStruct((n_angles,), jnp.float32)
         idx = jax.ShapeDtypeStruct((f_pad,), jnp.int32)
         radon = _radon_profiles_batched.lower(
-            canv, ang, idx, idx, s=s, chunk=chunk,
+            canv, ang, idx, idx, r=r, s=s, chunk=chunk,
             use_pallas=use_pallas).compile()
         # score statics must match _sweep_batched's call site; they are
         # re-lowered per config via the outer key when they differ.
@@ -104,16 +108,20 @@ def _hat(x):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("s", "chunk", "use_pallas"))
-def _radon_profiles_batched(canvases: jax.Array, angles: jax.Array,
+                   static_argnames=("r", "s", "chunk", "use_pallas"))
+def _radon_profiles_batched(canvases_packed: jax.Array, angles: jax.Array,
                             region_idx: jax.Array, angle_idx: jax.Array,
-                            s: int, chunk: int,
+                            r: int, s: int, chunk: int,
                             use_pallas: bool = False) -> jax.Array:
-    """(R, S, S) uint8 canvases + flattened (F,) (region, angle) pairs ->
-    (F, S) projections, computed in `chunk`-sized blocks (F % chunk == 0)."""
+    """1-bit-packed (R*S*S/8,) binary canvases + flattened (F,) (region,
+    angle) pairs -> (F, S) projections, computed in `chunk`-sized blocks
+    (F % chunk == 0)."""
+    from sbb_textline_detection_tpu.ops import pack as pack_ops
+
     c = float(s // 2)
     idx = jnp.arange(s, dtype=jnp.float32)
-    canvases = canvases.astype(jnp.float32)
+    canvases = pack_ops.unpack1_device(
+        canvases_packed, (r, s, s)).astype(jnp.float32)
 
     def block(pair):
         ridx, aidx = pair
@@ -253,8 +261,10 @@ class DeskewEngine:
         radon, radon_flops = _aot_radon_score(
             canvases.shape, angles.shape[0], f_pad, s, chunk,
             bool(use_pallas))
+        from sbb_textline_detection_tpu.ops import pack as pack_ops
+        packed = pack_ops.pack1_host(canvases)
         with stagetime.device_section(radon_flops):
-            P = radon(jnp.asarray(canvases), jnp.asarray(angles),
+            P = radon(jnp.asarray(packed), jnp.asarray(angles),
                       jnp.asarray(ridx, jnp.int32),
                       jnp.asarray(aidx, jnp.int32))
             vs = np.asarray(_score_profiles(

@@ -119,3 +119,28 @@ def test_rotate_identity():
     img = RNG.random((32, 40)).astype(np.float32)
     out = np.asarray(rotate.rotate_image(img, 0.0, order=3))
     np.testing.assert_allclose(out, img, atol=1e-5)
+
+
+def test_pack_roundtrips():
+    """2-bit and 1-bit pack/unpack in both directions (device pack -> host
+    unpack for mask transfers; host pack -> device unpack for the deskew
+    canvas uploads)."""
+    import numpy as np
+
+    from sbb_textline_detection_tpu.ops import pack as pack_ops
+
+    rng = np.random.default_rng(0)
+    for shape in [(7,), (64,), (13, 21), (3, 33, 9)]:
+        labels = rng.integers(0, 4, shape).astype(np.uint8)
+        packed = np.asarray(pack_ops.pack2_device(labels))
+        np.testing.assert_array_equal(
+            pack_ops.unpack2_host(packed, shape), labels)
+
+        bits = rng.integers(0, 2, shape).astype(np.uint8)
+        packed1 = np.asarray(pack_ops.pack1_device(bits))
+        np.testing.assert_array_equal(
+            pack_ops.unpack1_host(packed1, shape), bits)
+        # device pack == host pack (same little-endian layout)
+        np.testing.assert_array_equal(packed1, pack_ops.pack1_host(bits))
+        np.testing.assert_array_equal(
+            np.asarray(pack_ops.unpack1_device(packed1, shape)), bits)

@@ -262,3 +262,26 @@ def test_predict_dual_tiled_multi_matches_per_page():
                                       err_msg=f"page {i} region mask")
         np.testing.assert_array_equal(multi[i][1], lines_s,
                                       err_msg=f"page {i} textline labels")
+
+
+def test_predict_dual_tiled_binary_pack_path():
+    """With a 2-class textline model and a class mask, both canvases travel
+    1-bit packed; results must still match the separate unfused paths."""
+    tiny2 = registry.ModelSpec("tiny2", "tpu_unet", 64, 64, 2, widths=(8, 16))
+    variables_r = registry.init_variables(TINY, seed=0)
+    variables_t = registry.init_variables(tiny2, seed=1)
+    from sbb_textline_detection_tpu.core.config import RuntimeConfig
+    rt = RuntimeConfig(batch_buckets=(2, 4, 8))
+    m_r = runner.SegmentationModel(TINY, variables_r, rt)
+    m_t = runner.SegmentationModel(tiny2, variables_t, rt)
+    rng = np.random.default_rng(13)
+    img = np.where(rng.uniform(size=(150, 131, 3)) < 0.3, 40, 230
+                   ).astype(np.uint8)
+    mask_d, lines_d = m_r.predict_dual_tiled(m_t, img, mask_class=1)
+    np.testing.assert_array_equal(
+        mask_d, m_r.predict_tiled(img, pre_otsu=True, mask_class=1))
+    np.testing.assert_array_equal(lines_d, m_t.predict_tiled(img))
+    assert set(np.unique(mask_d)) <= {0, 1}
+    multi = m_r.predict_dual_tiled_multi(m_t, [img, img], mask_class=1)
+    np.testing.assert_array_equal(multi[0][0], mask_d)
+    np.testing.assert_array_equal(multi[1][1], lines_d)
