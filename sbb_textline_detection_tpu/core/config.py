@@ -138,8 +138,11 @@ class RuntimeConfig:
     # Tile-grid (ny, nx) dimensions round up to multiples of this, so pages
     # whose crops differ by a few hundred pixels share one compiled tiled
     # program (cold-start and recompile control; padded rows/cols are white
-    # and cropped away after stitching).
-    grid_bucket: int = 2
+    # and cropped away after stitching). 4 puts every A4-ish crop — skewed
+    # or not — on ONE program, which also lets process_batch fuse mixed
+    # pages into one dispatch; the ~20% extra (white) tiles are cheaper
+    # than a second compile + separate dispatches.
+    grid_bucket: int = 4
     # Model compute dtype. Params are kept fp32; matmul/conv run in bf16.
     compute_dtype: str = "bfloat16"
     # Maximum regions processed by the fixed-shape deskew sweep at once.

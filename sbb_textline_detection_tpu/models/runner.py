@@ -185,20 +185,40 @@ class SegmentationModel:
             self.predict_whole_small(img_u8), h, w)
 
     # -- device-resident tiled path -----------------------------------------
-    def _apply_morph(self, canvas, ops: MorphSpec):
+    @staticmethod
+    def _morph_primitives(ops: MorphSpec):
+        """Decompose open/close into erode/dilate primitives (exact for
+        flat SEs; `iterations` on open/close means repeated open/close)."""
+        prims = []
         for op, k, it in ops:
-            if op == "erode":
-                canvas = morphology.erode(canvas, k, it)
-            elif op == "dilate":
-                canvas = morphology.dilate(canvas, k, it)
+            if op in ("erode", "dilate"):
+                prims.append((op, k, it))
             elif op == "open":
                 for _ in range(max(1, it)):
-                    canvas = morphology.morph_open(canvas, k)
+                    prims += [("erode", k, 1), ("dilate", k, 1)]
             elif op == "close":
                 for _ in range(max(1, it)):
-                    canvas = morphology.morph_close(canvas, k)
+                    prims += [("dilate", k, 1), ("erode", k, 1)]
             else:
                 raise ValueError(f"unknown morph op {op!r}")
+        return prims
+
+    def _apply_morph(self, canvas, ops: MorphSpec, inside=None):
+        """Fused label-map morphology. With `inside` (a bool map of the
+        original crop extent within the padded canvas), every primitive
+        first replaces out-of-crop pixels with its neutral element (erode:
+        255, dilate: 0) — a sliding min/max then ignores them exactly like
+        the host path's +/-inf border padding, so the cropped result is
+        bit-identical to host morphology on the unpadded map no matter how
+        much grid padding the canvas carries."""
+        for op, k, it in self._morph_primitives(ops):
+            if inside is not None:
+                fill = jnp.uint8(255) if op == "erode" else jnp.uint8(0)
+                canvas = jnp.where(inside, canvas, fill)
+            if op == "erode":
+                canvas = morphology.erode(canvas, k, it)
+            else:
+                canvas = morphology.dilate(canvas, k, it)
         return canvas
 
     def _tiled_fn(self, ny: int, nx: int, margin: int, morph: MorphSpec,
@@ -280,13 +300,17 @@ class SegmentationModel:
             canvas = (slabs.reshape(ny, nx, sh, sw)
                       .transpose(0, 2, 1, 3)
                       .reshape(ny * sh, nx * sw))
-            canvas = self._apply_morph(canvas, morph)
+            inside_c = ((jnp.arange(ny * sh, dtype=jnp.int32)[:, None]
+                         < ohw[0])
+                        & (jnp.arange(nx * sw, dtype=jnp.int32)[None, :]
+                           < ohw[1]))
+            canvas = self._apply_morph(canvas, morph, inside_c)
             if mask_class is not None:
                 # Reference: mask = (labels == class) then OPEN+CLOSE
                 # (main.py:457-464) — fused here so only the final binary
                 # mask crosses the (slow) device->host path.
                 canvas = (canvas == np.uint8(mask_class)).astype(jnp.uint8)
-                canvas = self._apply_morph(canvas, post_morph)
+                canvas = self._apply_morph(canvas, post_morph, inside_c)
             return pack_ops.pack2_device(canvas)
 
         ohw_ex = np.zeros((2,), np.int32)
@@ -550,12 +574,19 @@ class SegmentationModel:
                 labels_t = jax.lax.map(fwd_textline, chunked)
             canvas_r = stitch(labels_r)                       # (k, H, W)
             canvas_t = stitch(labels_t)
-            canvas_r = jax.vmap(
-                lambda c: self._apply_morph(c, morph))(canvas_r)
-            if mask_class is not None:
-                canvas_r = (canvas_r == np.uint8(mask_class)).astype(jnp.uint8)
-                canvas_r = jax.vmap(
-                    lambda c: self._apply_morph(c, post_morph))(canvas_r)
+
+            def shape_page(c, hw):
+                ins = ((jnp.arange(ny * sh, dtype=jnp.int32)[:, None]
+                        < hw[0])
+                       & (jnp.arange(nx * sw, dtype=jnp.int32)[None, :]
+                          < hw[1]))
+                c = self._apply_morph(c, morph, ins)
+                if mask_class is not None:
+                    c = (c == np.uint8(mask_class)).astype(jnp.uint8)
+                    c = self._apply_morph(c, post_morph, ins)
+                return c
+
+            canvas_r = jax.vmap(shape_page)(canvas_r, ohw)
             big_h, big_w = ny * sh, nx * sw
             pack = pack_ops.pack1_device if bits1 else pack_ops.pack2_device
             return pack(jnp.concatenate(
@@ -646,10 +677,14 @@ class SegmentationModel:
                                        chunked)
             canvas_r = stitch(labels_r)
             canvas_t = stitch(labels_t)
-            canvas_r = self._apply_morph(canvas_r, morph)
+            inside_c = ((jnp.arange(ny * sh, dtype=jnp.int32)[:, None]
+                         < ohw[0])
+                        & (jnp.arange(nx * sw, dtype=jnp.int32)[None, :]
+                           < ohw[1]))
+            canvas_r = self._apply_morph(canvas_r, morph, inside_c)
             if mask_class is not None:
                 canvas_r = (canvas_r == np.uint8(mask_class)).astype(jnp.uint8)
-                canvas_r = self._apply_morph(canvas_r, post_morph)
+                canvas_r = self._apply_morph(canvas_r, post_morph, inside_c)
             pack = pack_ops.pack1_device if bits1 else pack_ops.pack2_device
             return pack(jnp.concatenate([canvas_r, canvas_t], axis=0))
 
