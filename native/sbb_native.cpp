@@ -480,6 +480,46 @@ int64_t sbb_label_runs(const uint8_t* mask, int64_t h, int64_t w,
 }
 
 // ---------------------------------------------------------------------------
+// Nearest-neighbor resize for uint8 images (parity with
+// ops/resize.py::resize_nearest_host — the cv2 INTER_NEAREST index math is
+// computed by the Python caller and passed in, so the index semantics live
+// in exactly one place). Rows repeated by upscaling are memcpy'd from the
+// previous output row.
+// ---------------------------------------------------------------------------
+
+void sbb_resize_nearest_u8(const uint8_t* in, int64_t w, int64_t c,
+                           const int64_t* ys, const int64_t* xs,
+                           int64_t oh, int64_t ow, uint8_t* out) {
+  std::vector<int64_t> xoff(static_cast<size_t>(ow));
+  for (int64_t j = 0; j < ow; ++j) xoff[j] = xs[j] * c;
+  const int64_t orow_bytes = ow * c;
+  int64_t prev = -1;
+  for (int64_t i = 0; i < oh; ++i) {
+    uint8_t* orow = out + i * orow_bytes;
+    if (ys[i] == prev) {
+      std::memcpy(orow, orow - orow_bytes, static_cast<size_t>(orow_bytes));
+      continue;
+    }
+    prev = ys[i];
+    const uint8_t* irow = in + ys[i] * w * c;
+    if (c == 3) {
+      for (int64_t j = 0; j < ow; ++j) {
+        const uint8_t* p = irow + xoff[j];
+        orow[3 * j] = p[0];
+        orow[3 * j + 1] = p[1];
+        orow[3 * j + 2] = p[2];
+      }
+    } else if (c == 1) {
+      for (int64_t j = 0; j < ow; ++j) orow[j] = irow[xoff[j]];
+    } else {
+      for (int64_t j = 0; j < ow; ++j) {
+        std::memcpy(orow + j * c, irow + xoff[j], static_cast<size_t>(c));
+      }
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
 // Batched point-in-polygon (parity with ops/contours.py::points_in_polygon:
 // crossing-number with half-open vertex rule + on-edge tolerance). pts:
 // (n, 2) float64 polygon; qx/qy: (m,) query points; out: (m,) uint8 0/1.

@@ -71,6 +71,9 @@ def load() -> Optional[ctypes.CDLL]:
         lib.sbb_rotate.restype = None
         lib.sbb_rotate.argtypes = [_p_f64, _i64, _i64, _i64,
                                    ctypes.c_double, ctypes.c_int, _p_f64]
+        lib.sbb_resize_nearest_u8.restype = None
+        lib.sbb_resize_nearest_u8.argtypes = [_p_u8, _i64, _i64, _p_i64,
+                                              _p_i64, _i64, _i64, _p_u8]
         _lib = lib
         break
     return _lib
@@ -181,6 +184,24 @@ def rotate(img: np.ndarray, angle_deg: float, order: int = 3) -> np.ndarray:
     out = np.empty_like(arr)
     lib.sbb_rotate(arr.reshape(-1), h, w, c, float(angle_deg), order,
                    out.reshape(-1))
+    return out[:, :, 0] if squeeze else out
+
+
+def resize_nearest_u8(img: np.ndarray, ys: np.ndarray, xs: np.ndarray
+                      ) -> np.ndarray:
+    """uint8 (H, W[, C]) gather-resize along precomputed row/col indices."""
+    lib = load()
+    assert lib is not None
+    squeeze = img.ndim == 2
+    arr = np.ascontiguousarray(img, dtype=np.uint8)
+    if squeeze:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    ys = np.ascontiguousarray(ys, dtype=np.int64)
+    xs = np.ascontiguousarray(xs, dtype=np.int64)
+    out = np.empty((ys.shape[0], xs.shape[0], c), dtype=np.uint8)
+    lib.sbb_resize_nearest_u8(arr.reshape(-1), w, c, ys, xs,
+                              ys.shape[0], xs.shape[0], out.reshape(-1))
     return out[:, :, 0] if squeeze else out
 
 

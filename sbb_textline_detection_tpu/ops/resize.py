@@ -27,6 +27,14 @@ def resize_nearest_host(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """(H, W[, C]) → (out_h, out_w[, C]) uint8/any dtype preserved."""
     ys = _nearest_indices(out_h, img.shape[0])
     xs = _nearest_indices(out_w, img.shape[1])
+    if img.dtype == np.uint8 and img.ndim in (2, 3):
+        from sbb_textline_detection_tpu import native_bridge
+
+        if native_bridge.available():
+            # same gather, single C++ pass (~3x the numpy fancy-indexing
+            # throughput on the 1-core serving host); indices computed here
+            # so the cv2 INTER_NEAREST semantics stay single-sourced
+            return native_bridge.resize_nearest_u8(img, ys, xs)
     return img[np.ix_(ys, xs)] if img.ndim == 2 else img[ys][:, xs]
 
 

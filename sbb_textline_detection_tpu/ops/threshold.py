@@ -58,11 +58,41 @@ def otsu_copy_host(img: np.ndarray) -> np.ndarray:
 # Device (JAX)
 # ---------------------------------------------------------------------------
 
+def _hist256_weighted(flat_i32: jax.Array, weight_f: jax.Array) -> jax.Array:
+    """Weighted 256-bin histogram as a nibble one-hot matmul.
+
+    A scatter-add (`.at[idx].add`) serializes on the TPU (~90 ms for a
+    10 M-pixel page); instead split each byte into hi/lo nibbles and
+    accumulate the (16, 16) outer-product table on the MXU:
+    hist[hi*16+lo] = sum_p w_p * [hi_p==hi] * [lo_p==lo]. One-hots and
+    weights are exact in bf16 (values 0/1); the f32 MXU accumulator is
+    exact for counts < 2^24, far above any page's pixel count."""
+    n = flat_i32.shape[0]
+    chunk = 1 << 19  # bounds the transient (chunk, 16) one-hots to ~32 MB
+    n_pad = -(-n // chunk) * chunk
+    v = jnp.zeros((n_pad,), jnp.int32).at[:n].set(flat_i32)
+    w = jnp.zeros((n_pad,), jnp.bfloat16).at[:n].set(
+        weight_f.astype(jnp.bfloat16))
+    nib = jnp.arange(16, dtype=jnp.int32)
+
+    def body(acc, vw):
+        vv, ww = vw
+        oh_hi = ((vv[:, None] >> 4) == nib).astype(jnp.bfloat16) * ww[:, None]
+        oh_lo = ((vv[:, None] & 15) == nib).astype(jnp.bfloat16)
+        return acc + jax.lax.dot_general(
+            oh_hi, oh_lo, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32), None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros((16, 16), jnp.float32),
+                          (v.reshape(-1, chunk), w.reshape(-1, chunk)))
+    return acc.reshape(256)
+
+
 @jax.jit
 def otsu_threshold(img: jax.Array) -> jax.Array:
     """Otsu threshold (int32 scalar) of a uint8 image on device."""
     flat = img.astype(jnp.int32).ravel()
-    hist = jnp.zeros((256,), jnp.float32).at[flat].add(1.0)
+    hist = _hist256_weighted(flat, jnp.ones_like(flat, jnp.float32))
     return _otsu_from_hist(hist)
 
 
@@ -75,8 +105,7 @@ def otsu_threshold_masked(img: jax.Array, weight: jax.Array) -> jax.Array:
     threshold over the unpadded page, main.py:187-189) becomes a runtime
     mask instead of a static slice shape."""
     flat = img.astype(jnp.int32).ravel()
-    hist = jnp.zeros((256,), jnp.float32).at[flat].add(
-        weight.astype(jnp.float32).ravel())
+    hist = _hist256_weighted(flat, weight.astype(jnp.float32).ravel())
     return _otsu_from_hist(hist)
 
 

@@ -108,6 +108,12 @@ def extract_page(scaled: ScaledImage, models: ModelBundle,
             box = _page_box_full_res(models.page.predict_whole(img), cfg)
     except Exception:
         box = [0, 0, w - 1, h - 1]
+    return _crop_to_box(img, box)
+
+
+def _crop_to_box(img: np.ndarray, box: List[int]
+                 ) -> Tuple[np.ndarray, List[int], np.ndarray]:
+    """Crop + page_coord + cont_page from a page box (main.py:405-437)."""
     cropped = img[box[1]:box[1] + box[3], box[0]:box[0] + box[2]]
     page_coord = [box[1], box[1] + box[3], box[0], box[0] + box[2]]
     cont_page = np.array([[page_coord[2], page_coord[0]],
@@ -115,6 +121,36 @@ def extract_page(scaled: ScaledImage, models: ModelBundle,
                           [page_coord[3], page_coord[1]],
                           [page_coord[2], page_coord[1]]])
     return cropped, page_coord, cont_page
+
+
+def extract_page_batch(scaleds: List[ScaledImage], models: ModelBundle,
+                       cfg: PipelineConfig
+                       ) -> List[Tuple[np.ndarray, List[int], np.ndarray]]:
+    """Border detection for a GROUP of pages with all K page-model forwards
+    folded into one dispatch (predict_whole_small_batch). Per-page results
+    are identical to extract_page (same model-resolution box decision);
+    any batch failure falls back to the per-page path, and any per-page
+    box failure degrades to the whole image, like extract_page does."""
+    if not hasattr(models.page, "predict_whole_small_batch") or \
+            not hasattr(models.page, "predict_whole_small"):
+        return [extract_page(s, models, cfg) for s in scaleds]
+    try:
+        smalls = models.page.predict_whole_small_batch(
+            [s.image for s in scaleds])
+    except Exception:
+        logger.warning("batched page extraction failed; falling back to "
+                       "per-page forwards", exc_info=True)
+        return [extract_page(s, models, cfg) for s in scaleds]
+    out = []
+    for s, small in zip(scaleds, smalls):
+        img = s.image
+        h, w = img.shape[:2]
+        try:
+            box = _page_box_model_res(small, h, w, cfg)
+        except Exception:
+            box = [0, 0, w - 1, h - 1]
+        out.append(_crop_to_box(img, box))
+    return out
 
 
 def extract_text_regions(image_page: np.ndarray, models: ModelBundle,
