@@ -133,8 +133,10 @@ class RuntimeConfig:
     batch_buckets: Tuple[int, ...] = (8, 16, 32, 64, 128)
     # Tiles per lax.map step inside the one-dispatch tiled program
     # (bounds activation memory; the page's tile count is padded up to a
-    # multiple of this).
-    tile_chunk: int = 16
+    # multiple of this). 96 runs a whole A4 page's grid as one step —
+    # measured 30% faster than 16 on the v5e (fewer loop trips, fuller
+    # batches) at ~6 GB peak activations.
+    tile_chunk: int = 96
     # Tile-grid (ny, nx) dimensions round up to multiples of this, so pages
     # whose crops differ by a few hundred pixels share one compiled tiled
     # program (cold-start and recompile control; padded rows/cols are white
@@ -145,10 +147,16 @@ class RuntimeConfig:
     grid_bucket: int = 4
     # Model compute dtype. Params are kept fp32; matmul/conv run in bf16.
     compute_dtype: str = "bfloat16"
-    # Maximum regions processed by the fixed-shape deskew sweep at once.
+    # Maximum regions processed by the fixed-shape deskew sweep at once
+    # (sweeps use power-of-two sub-buckets up to this, so small pages and
+    # tail groups don't pay for empty canvas slots).
     deskew_batch: int = 8
     # Side of the fixed square canvas used for the batched deskew sweep.
-    deskew_canvas: int = 1024
+    # Crops larger than canvas/pad_factor are downscaled into it (the
+    # documented canvas deviation, pipeline/deskew.py); 512 halves the
+    # Radon GEMM time vs 1024 with no measurable angle drift on the
+    # skewed-page benchmark.
+    deskew_canvas: int = 512
     # Use the exact point-in-polygon test against traced contours (reference
     # semantics) instead of the rasterized-mask fast path.
     exact_point_in_polygon: bool = True

@@ -22,6 +22,7 @@ _load_attempted = False
 
 _i64 = ctypes.c_int64
 _p_u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+_p_f32 = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
 _p_i32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
 _p_i64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
 _p_f64 = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
@@ -74,6 +75,9 @@ def load() -> Optional[ctypes.CDLL]:
         lib.sbb_resize_nearest_u8.restype = None
         lib.sbb_resize_nearest_u8.argtypes = [_p_u8, _i64, _i64, _p_i64,
                                               _p_i64, _i64, _i64, _p_u8]
+        lib.sbb_rotate_f32.restype = None
+        lib.sbb_rotate_f32.argtypes = [_p_f32, _i64, _i64,
+                                       ctypes.c_double, _p_f32]
         _lib = lib
         break
     return _lib
@@ -114,16 +118,41 @@ def label_components(mask: np.ndarray) -> Tuple[np.ndarray, int]:
     return labels, int(n)
 
 
+import threading as _threading
+
+_scratch_tls = _threading.local()
+
+
+def _scratch(key: str, shape, dtype) -> np.ndarray:
+    """Thread-local reusable buffer: full-page temporaries (the 33 MB int32
+    label map in particular) otherwise mmap/munmap on every call, and the
+    resulting page-fault storms cost up to 10x the actual labeling time on
+    the 1-core serving host."""
+    store = getattr(_scratch_tls, "bufs", None)
+    if store is None:
+        store = _scratch_tls.bufs = {}
+    buf = store.get(key)
+    if buf is None or buf.shape != tuple(shape) or buf.dtype != dtype:
+        buf = np.empty(shape, dtype)
+        store[key] = buf
+    return buf
+
+
 def label_components_stats(mask: np.ndarray
                            ) -> Tuple[np.ndarray, int, np.ndarray, np.ndarray]:
     """One-pass run-length labeling + stats: (labels, n, boxes, seeds) —
     equivalent to label_components + label_stats but scans runs, not
-    pixels (~5-10x faster on text masks)."""
+    pixels (~5-10x faster on text masks).
+
+    The returned `labels` array is a borrowed thread-local scratch buffer:
+    valid until this thread's next label_components_stats call."""
     lib = load()
     assert lib is not None
-    mask_u8 = np.ascontiguousarray(np.asarray(mask) != 0, dtype=np.uint8)
-    h, w = mask_u8.shape
-    labels = np.empty((h, w), dtype=np.int32)
+    m = np.asarray(mask)
+    h, w = m.shape
+    mask_u8 = _scratch("label_mask", (h, w), np.uint8)
+    np.not_equal(m, 0, out=mask_u8, casting="unsafe")
+    labels = _scratch("label_out", (h, w), np.int32)
     cap = 4096
     while True:
         boxes = np.empty((cap, 4), dtype=np.int64)
@@ -203,6 +232,19 @@ def resize_nearest_u8(img: np.ndarray, ys: np.ndarray, xs: np.ndarray
     lib.sbb_resize_nearest_u8(arr.reshape(-1), w, c, ys, xs,
                               ys.shape[0], xs.shape[0], out.reshape(-1))
     return out[:, :, 0] if squeeze else out
+
+
+def rotate_f32(img: np.ndarray, angle_deg: float) -> np.ndarray:
+    """Single-precision bicubic center rotation of a 2-D array (used for
+    binary masks that are thresholded afterwards — see sbb_rotate_f32)."""
+    lib = load()
+    assert lib is not None
+    arr = np.ascontiguousarray(img, dtype=np.float32)
+    h, w = arr.shape
+    out = np.empty_like(arr)
+    lib.sbb_rotate_f32(arr.reshape(-1), h, w, float(angle_deg),
+                       out.reshape(-1))
+    return out
 
 
 def morph_binary(mask: np.ndarray, kernel: int, iterations: int,

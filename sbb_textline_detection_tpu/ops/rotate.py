@@ -115,6 +115,23 @@ def _cubic_weights_np(f: np.ndarray):
     return (k2(1.0 + f), k1(f), k1(1.0 - f), k2(2.0 - f))
 
 
+def rotate_mask_host(mask: np.ndarray, angle_deg: float,
+                     threshold: float = 1e-3) -> np.ndarray:
+    """Bicubic-rotate a binary (0/255-style) mask and threshold
+    (|v| > threshold) -> uint8 {0,1}. This is the reference's
+    rotate-then-binarize idiom (upstream main.py:1494-1497). Uses the f32
+    native kernel: on 0/255 inputs f32 keeps ~1e-6 relative accuracy, so
+    the thresholded mask matches the f64 path (asserted in
+    tests/test_native.py) at ~2x the speed."""
+    from sbb_textline_detection_tpu import native_bridge
+
+    if native_bridge.available():
+        rot = native_bridge.rotate_f32(mask, angle_deg)
+        return (np.abs(rot) > threshold).astype(np.uint8)
+    rot = rotate_image_host(mask.astype(np.float64), angle_deg, order=3)
+    return (np.abs(rot) > threshold).astype(np.uint8)
+
+
 def rotate_image_host(img: np.ndarray, angle_deg: float, order: int = 3) -> np.ndarray:
     """Numpy twin of `rotate_image` for variable-shape host-side work
     (per-region crops have data-dependent shapes; jitting those would

@@ -308,17 +308,32 @@ class DeskewEngine:
                 angles[i] = a
         return angles
 
+    def _batch_buckets(self) -> List[int]:
+        """Region-batch shape buckets: powers of two up to region_batch.
+        A page's regions are split greedily into the largest bucket that
+        fits, so a 1-2 region tail (or a 1-2 region vertical re-sweep)
+        doesn't pay for a full region_batch-sized sweep of empty slots."""
+        b, buckets = 1, []
+        while b < self.region_batch:
+            buckets.append(b)
+            b *= 2
+        buckets.append(self.region_batch)
+        return buckets
+
     def _sweep_grouped(self, crops: Sequence[np.ndarray], s: int,
                        angles: np.ndarray, render) -> List[float]:
-        b = self.region_batch
+        buckets = self._batch_buckets()
         out: List[float] = []
-        buf = np.zeros((b, s, s), dtype=np.uint8)
-        for start in range(0, len(crops), b):
+        start = 0
+        while start < len(crops):
+            remaining = len(crops) - start
+            b = next((bb for bb in buckets if bb >= remaining), buckets[-1])
             group = crops[start:start + b]
-            buf[:] = 0
+            buf = np.zeros((b, s, s), dtype=np.uint8)
             for i, crop in enumerate(group):
                 render(crop, buf[i])
             out.extend(self._sweep_batched(buf, s, angles)[:len(group)])
+            start += b
         return out
 
     def best_angle(self, crop: np.ndarray) -> float:

@@ -288,9 +288,7 @@ def textline_postprocess(crop_labels: np.ndarray, slope: float,
         mask = morphology.morph_open_host(mask, k)
         mask = morphology.morph_close_host(mask, k)
 
-        rot = rotate_ops.rotate_image_host(mask.astype(np.float64), slope,
-                                           order=3)
-        dst = (np.abs(rot) > 1e-3).astype(np.uint8)
+        dst = rotate_ops.rotate_mask_host(mask, slope)
 
         # The reference rasterizes the region contour, warps the raster,
         # and re-traces its longest boundary (main.py:1498-1511) — only to

@@ -162,6 +162,22 @@ def test_find_contours_native_vs_python_paths(nb):
         np.testing.assert_array_equal(a, b)
 
 
+def test_rotate_f32_mask_matches_f64_threshold(nb):
+    """The f32 rotate fast path must yield the same |v|>1e-3 thresholded
+    mask as the f64 kernel on 0/255 binary inputs (the only way the
+    pipeline consumes it — stages.textline_postprocess)."""
+    for trial in range(12):
+        h, w = int(RNG.integers(20, 120)), int(RNG.integers(20, 120))
+        mask = _random_blobs(h, w, int(RNG.integers(1, 6)), RNG) * 255.0
+        ang = float(RNG.uniform(-25, 25))
+        fast = (np.abs(nb.rotate_f32(mask, ang)) > 1e-3).astype(np.uint8)
+        slow = (np.abs(nb.rotate(mask.astype(np.float64), ang, 3))
+                > 1e-3).astype(np.uint8)
+        # f32 rounding can flip only pixels whose f64 value sits within
+        # ~1e-4 of the threshold — essentially measure zero on 0/255 data
+        assert (fast != slow).sum() == 0, f"trial={trial} ang={ang}"
+
+
 def test_label_runs_matches_pixel_labeling(nb):
     """Run-length labeling+stats must equal the pixel union-find path
     (labels, count, boxes, seeds) bit for bit."""
