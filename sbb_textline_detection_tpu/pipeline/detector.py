@@ -320,6 +320,65 @@ class TextlineDetector:
         return PageResult(tree, contours, slopes, textlines,
                           st.page_coord, t, dev, flops)
 
+    def warm_up(self, height: int = 3508, width: int = 2480,
+                group_size: Optional[int] = None) -> Dict[str, float]:
+        """Compile and first-dispatch every device program a (height, width)
+        page batch needs, in PARALLEL threads.
+
+        The serving environment loads each program onto the chip on its
+        first dispatch (5-30 s each through the tunnel); those loads
+        overlap when issued concurrently, so the cold-start collapses from
+        the sum of the program loads to roughly the slowest one. Returns
+        per-program wall seconds."""
+        import threading
+
+        cfg = self.config
+        group = group_size or max(1, cfg.runtime.pages_per_dispatch)
+        # the exact working/crop geometry a real page of this size hits
+        scaled = stages.scale_image(
+            np.full((height, width, 3), 255, np.uint8), cfg)
+        page_img = scaled.image
+        timings: Dict[str, float] = {}
+
+        def timed(name, fn):
+            def run():
+                t0 = time.time()
+                try:
+                    fn()
+                except Exception:
+                    LOG.warning("warm_up: %s failed", name, exc_info=True)
+                timings[name] = time.time() - t0
+            return run
+
+        def warm_page_model():
+            stages.extract_page_batch([scaled] * group, self.models, cfg)
+            if group > 1:
+                stages.extract_page(scaled, self.models, cfg)
+
+        def warm_dual():
+            if group > 1:
+                stages.extract_regions_and_textline_multi(
+                    [page_img] * group, self.models, cfg)
+
+        def warm_dual_single():
+            stages.extract_regions_and_textline(page_img, self.models, cfg)
+
+        def warm_deskew():
+            s = min(512, self.deskew.max_canvas)
+            for b in (self.deskew.region_batch, 2):
+                self.deskew._sweep_batched(
+                    np.zeros((b, s, s), np.uint8), s, self.deskew._coarse)
+
+        jobs = [("page_model", warm_page_model), ("dual_multi", warm_dual),
+                ("dual_single", warm_dual_single), ("deskew", warm_deskew)]
+        threads = [threading.Thread(target=timed(n, f), daemon=True)
+                   for n, f in jobs]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        return timings
+
     # -- public API --------------------------------------------------------
     def process_image(self, image: np.ndarray,
                       image_filename: str = "") -> PageResult:

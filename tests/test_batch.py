@@ -61,6 +61,25 @@ def test_batch_empty_iterable(detector):
     assert list(detector.process_batch(iter([]))) == []
 
 
+def test_warm_up_then_results_unchanged(detector):
+    """warm_up pre-loads device programs in parallel threads; results after
+    it must match a cold run bit for bit (it must only warm caches)."""
+    pages = _pages()[:2]
+    cold = [detector.process_image(p, f"c{i}.png")
+            for i, p in enumerate(pages)]
+    timings = detector.warm_up(height=500, width=380)
+    assert set(timings) == {"page_model", "dual_multi", "dual_single",
+                            "deskew"}
+    assert all(v >= 0.0 for v in timings.values())
+    warm = [detector.process_image(p, f"w{i}.png")
+            for i, p in enumerate(pages)]
+    for a, b in zip(cold, warm):
+        assert len(a.contours) == len(b.contours)
+        assert a.slopes == b.slopes
+        for ca, cb in zip(a.contours, b.contours):
+            np.testing.assert_array_equal(ca, cb)
+
+
 def test_run_files_writes_in_order(detector, tmp_path):
     from PIL import Image
     paths = []
