@@ -538,6 +538,35 @@ int64_t sbb_label_runs(const uint8_t* mask, int64_t h, int64_t w,
 }
 
 // ---------------------------------------------------------------------------
+// Morphology sequence: apply `n_ops` erode/dilate passes back to back with
+// one entry call (ops alternate buffers internally). op_codes: 0 = erode,
+// 1 = dilate; op_params: (kernel, iterations) pairs. Equivalent to calling
+// sbb_morph_binary n_ops times, without the per-call Python/ctypes/
+// conversion overhead (a page's post-processing makes ~150 such calls).
+// ---------------------------------------------------------------------------
+
+void sbb_morph_seq(const uint8_t* in, int64_t h, int64_t w,
+                   const int64_t* op_codes, const int64_t* op_params,
+                   int64_t n_ops, uint8_t* out) {
+  std::vector<uint8_t> tmp;
+  const uint8_t* src = in;
+  for (int64_t i = 0; i < n_ops; ++i) {
+    uint8_t* dst;
+    if (i + 1 == n_ops) {
+      dst = out;
+    } else {
+      if (tmp.empty()) tmp.resize(static_cast<size_t>(h) * w);
+      dst = (src == tmp.data()) ? out : tmp.data();
+    }
+    sbb_morph_binary(src, h, w, op_params[2 * i], op_params[2 * i + 1],
+                     op_codes[i] == 1, dst);
+    src = dst;
+  }
+  if (n_ops == 0) std::memcpy(out, in, static_cast<size_t>(h) * w);
+  else if (src != out) std::memcpy(out, src, static_cast<size_t>(h) * w);
+}
+
+// ---------------------------------------------------------------------------
 // Nearest-neighbor resize for uint8 images (parity with
 // ops/resize.py::resize_nearest_host — the cv2 INTER_NEAREST index math is
 // computed by the Python caller and passed in, so the index semantics live

@@ -164,6 +164,13 @@ class RuntimeConfig:
     # (pages x tiles as the forward batch dim; SURVEY §2.4's data-parallel
     # pages). 1 disables grouping.
     pages_per_dispatch: int = 2
+    # Batch path: upload each page's margin-padded working image at the
+    # START of the device phase (runner.upload_canvas) and let the fused
+    # program slice the crop with runtime box offsets, instead of
+    # uploading the padded crop right before the dispatch. Bit-identical
+    # (tests/test_runner_resident.py); which is faster depends on whether
+    # the serving transport overlaps transfers with compute.
+    resident_upload: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -517,6 +517,219 @@ class SegmentationModel:
             out.append((region, textline))
         return out
 
+    # -- resident-image path ------------------------------------------------
+    def canvas_shape_for(self, scaled_h: int, scaled_w: int,
+                         margin_ratio: float = 0.1) -> Tuple[int, int]:
+        """Static canvas shape for the resident-image path: the scaled page
+        plus `margin` context on the top/left, one tile stride + margin of
+        slack on the bottom/right (so every tile whose slab contains real
+        crop pixels stays in bounds — fully-out-of-crop tiles may be
+        clamped by dynamic_slice onto white rows, which is exactly what
+        they'd read anyway), rounded up to 128 so nearby page sizes share
+        one compiled program."""
+        mh, mw = self.input_hw
+        margin = int(margin_ratio * mw)
+        sh, sw = mh - 2 * margin, mw - 2 * margin
+        ch = margin + scaled_h + sh + margin
+        cw = margin + scaled_w + sw + margin
+        return (-(-ch // 128) * 128, -(-cw // 128) * 128)
+
+    def upload_canvas(self, scaled_img: np.ndarray,
+                      margin_ratio: float = 0.1):
+        """Host-pad the working page into its white canvas and START the
+        host->device transfer (device_put is asynchronous): the upload
+        overlaps the page-border stage's host work and small dispatch.
+        Returns the device array for predict_dual_tiled_resident."""
+        mh, mw = self.input_hw
+        margin = int(margin_ratio * mw)
+        ch, cw = self.canvas_shape_for(scaled_img.shape[0],
+                                       scaled_img.shape[1], margin_ratio)
+        h, w = scaled_img.shape[:2]
+        canvas = _pad_white(scaled_img, margin, ch - h - margin,
+                            margin, cw - w - margin)
+        return jax.device_put(canvas)
+
+    def predict_dual_tiled_resident(self, other: "SegmentationModel",
+                                    canvases, boxes,
+                                    margin_ratio: float = 0.1,
+                                    morph: Optional[MorphSpec] = None,
+                                    mask_class: Optional[int] = None,
+                                    post_morph: Optional[MorphSpec] = None):
+        """Fused dual segmentation reading the page crops out of RESIDENT
+        margin-padded canvases (upload_canvas) with runtime box offsets —
+        no second full-page upload on the critical path. `canvases`: list
+        of K device arrays of IDENTICAL canvas shape; `boxes`: per page
+        [by, bx, crop_h, crop_w] in scaled-image coordinates. Bit-identical
+        to predict_dual_tiled on the cropped page: tiles read white outside
+        the crop box exactly like the padded-crop upload, and the Otsu
+        histogram covers the same crop pixels
+        (tests/test_runner_resident.py). Returns [(region_mask,
+        textline_labels), ...]."""
+        if self.input_hw != other.input_hw:
+            raise ValueError("dual tiled predict needs identical geometry")
+        k = len(canvases)
+        boxes = np.asarray(boxes, np.int32).reshape(k, 4)
+        mh, mw = self.input_hw
+        margin = int(margin_ratio * mw)
+        sh, sw = mh - 2 * margin, mw - 2 * margin
+        grids = {self.grid_for(int(b[2]), int(b[3]), margin_ratio)
+                 for b in boxes}
+        if len(grids) != 1:
+            raise ValueError(
+                f"pages span multiple tile grids {sorted(grids)}; group "
+                "pages by grid_for() before fusing")
+        ny, nx = grids.pop()
+        shapes = {tuple(c.shape) for c in canvases}
+        if len(shapes) != 1:
+            raise ValueError(f"canvas shapes differ: {sorted(shapes)}")
+        stacked = jnp.stack(canvases)
+        bits1 = mask_class is not None and other.spec.n_classes <= 2
+        compiled, flops = self._dual_tiled_resident_fn(
+            other, k, ny, nx, margin, tuple(stacked.shape),
+            tuple(morph or ()), mask_class, tuple(post_morph or ()), bits1)
+        with stagetime.device_section(flops):
+            packed = np.asarray(compiled(self.variables, other.variables,
+                                         stacked, boxes))
+        big_h = ny * sh
+        unpack = pack_ops.unpack1_host if bits1 else pack_ops.unpack2_host
+        both = unpack(packed, (2 * k * big_h, nx * sw))
+        out = []
+        for i, b in enumerate(boxes):
+            h, w = int(b[2]), int(b[3])
+            region = both[i * big_h:i * big_h + h, :w]
+            textline = both[(k + i) * big_h:(k + i) * big_h + h, :w]
+            out.append((region, textline))
+        return out
+
+    def _dual_tiled_resident_fn(self, other: "SegmentationModel", k: int,
+                                ny: int, nx: int, margin: int,
+                                stacked_shape, morph: MorphSpec,
+                                mask_class: Optional[int],
+                                post_morph: MorphSpec, bits1: bool):
+        key = ("dual_res", id(other), k, ny, nx, margin, stacked_shape,
+               morph, mask_class, post_morph, bits1)
+        entry = self._tiled_cache.get(key)
+        if entry is not None:
+            return entry
+
+        mh, mw = self.input_hw
+        sh, sw = mh - 2 * margin, mw - 2 * margin
+        n = ny * nx
+        total = k * n
+        chunk = min(self.runtime.tile_chunk, total)
+        quantum = (int(self.mesh.shape["data"]) if self.mesh is not None
+                   else chunk)
+        n_pad = ((total + quantum - 1) // quantum) * quantum
+        jj, ii = np.meshgrid(np.arange(ny), np.arange(nx), indexing="ij")
+        jjr = jj.ravel() * sh
+        iir = ii.ravel() * sw
+        module_r = self._module
+        module_t = other._module
+        mesh = self.mesh
+
+        def stitch(labels):
+            labels = labels.reshape(n_pad, mh, mw)[:total]
+            slabs = labels[:, margin:margin + sh, margin:margin + sw]
+            return (slabs.reshape(k, ny, nx, sh, sw)
+                    .transpose(0, 1, 3, 2, 4)
+                    .reshape(k, ny * sh, nx * sw))
+
+        def fn(vars_r, vars_t, canvases_u8, boxes):
+            from sbb_textline_detection_tpu.ops import threshold
+            ph, pw = canvases_u8.shape[1:3]
+            iy = jnp.arange(ph, dtype=jnp.int32)[:, None]
+            ix = jnp.arange(pw, dtype=jnp.int32)[None, :]
+
+            def whiten(img, box):
+                by, bx, hh, ww_ = box[0], box[1], box[2], box[3]
+                inside = ((iy >= margin + by) & (iy < margin + by + hh)
+                          & (ix >= margin + bx) & (ix < margin + bx + ww_))
+                return jnp.where(inside[..., None], img, jnp.uint8(255))
+
+            imgs = jax.vmap(whiten)(canvases_u8, boxes)     # (k, ph, pw, 3)
+
+            def page_thresh(img, box):
+                by, bx, hh, ww_ = box[0], box[1], box[2], box[3]
+                inside = ((iy >= margin + by) & (iy < margin + by + hh)
+                          & (ix >= margin + bx) & (ix < margin + bx + ww_))
+                return threshold.otsu_threshold_masked(img[..., 0], inside)
+
+            ts = jax.vmap(page_thresh)(imgs, boxes)          # (k,)
+
+            jja = jnp.asarray(jjr, jnp.int32)
+            iia = jnp.asarray(iir, jnp.int32)
+
+            def page_tiles(img, box):
+                return jax.vmap(lambda yy, xx: jax.lax.dynamic_slice(
+                    img, (box[0] + yy, box[1] + xx, 0), (mh, mw, 3)))(
+                        jja, iia)
+
+            tiles = jax.vmap(page_tiles)(imgs, boxes)        # (k,n,mh,mw,3)
+            tiles = tiles.reshape(total, mh, mw, 3)
+            t_tiles = jnp.repeat(ts, n)
+            if n_pad > total:
+                tiles = jnp.concatenate(
+                    [tiles, jnp.zeros((n_pad - total, mh, mw, 3),
+                                      tiles.dtype)], axis=0)
+                t_tiles = jnp.concatenate(
+                    [t_tiles, jnp.zeros((n_pad - total,), t_tiles.dtype)])
+
+            def fwd_region(batch, tb):
+                ch0 = jnp.where(
+                    batch[..., 0].astype(jnp.int32)
+                    > tb[:, None, None].astype(jnp.int32),
+                    jnp.float32(1.0), jnp.float32(0.0))
+                x = jnp.repeat(ch0[..., None], 3, axis=-1)
+                logits = module_r.apply(vars_r, x)
+                return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+
+            def fwd_textline(batch):
+                x = batch.astype(jnp.float32) / 255.0
+                logits = module_t.apply(vars_t, x)
+                return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+                tiles = jax.lax.with_sharding_constraint(
+                    tiles, NamedSharding(
+                        mesh, PartitionSpec("data", None, None, None)))
+                labels_r = fwd_region(tiles, t_tiles)
+                labels_t = fwd_textline(tiles)
+            else:
+                chunked = tiles.reshape(n_pad // chunk, chunk, mh, mw, 3)
+                t_chunked = t_tiles.reshape(n_pad // chunk, chunk)
+                labels_r = jax.lax.map(
+                    lambda bt: fwd_region(bt[0], bt[1]),
+                    (chunked, t_chunked))
+                labels_t = jax.lax.map(fwd_textline, chunked)
+            canvas_r = stitch(labels_r)
+            canvas_t = stitch(labels_t)
+
+            def shape_page(c, box):
+                ins = ((jnp.arange(ny * sh, dtype=jnp.int32)[:, None]
+                        < box[2])
+                       & (jnp.arange(nx * sw, dtype=jnp.int32)[None, :]
+                          < box[3]))
+                c = self._apply_morph(c, morph, ins)
+                if mask_class is not None:
+                    c = (c == np.uint8(mask_class)).astype(jnp.uint8)
+                    c = self._apply_morph(c, post_morph, ins)
+                return c
+
+            canvas_r = jax.vmap(shape_page)(canvas_r, boxes)
+            big_h, big_w = ny * sh, nx * sw
+            pack = pack_ops.pack1_device if bits1 else pack_ops.pack2_device
+            return pack(jnp.concatenate(
+                [canvas_r.reshape(k * big_h, big_w),
+                 canvas_t.reshape(k * big_h, big_w)], axis=0))
+
+        canv_ex = jax.ShapeDtypeStruct(stacked_shape, jnp.uint8)
+        boxes_ex = jax.ShapeDtypeStruct((k, 4), jnp.int32)
+        entry = self._aot(jax.jit(fn), self.variables, other.variables,
+                          canv_ex, boxes_ex)
+        self._tiled_cache[key] = entry
+        return entry
+
     def _dual_tiled_multi_fn(self, other: "SegmentationModel", k: int,
                              ny: int, nx: int, margin: int, morph: MorphSpec,
                              mask_class: Optional[int],

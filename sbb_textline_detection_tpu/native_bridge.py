@@ -78,6 +78,9 @@ def load() -> Optional[ctypes.CDLL]:
         lib.sbb_rotate_f32.restype = None
         lib.sbb_rotate_f32.argtypes = [_p_f32, _i64, _i64,
                                        ctypes.c_double, _p_f32]
+        lib.sbb_morph_seq.restype = None
+        lib.sbb_morph_seq.argtypes = [_p_u8, _i64, _i64, _p_i64, _p_i64,
+                                      _i64, _p_u8]
         _lib = lib
         break
     return _lib
@@ -255,4 +258,20 @@ def morph_binary(mask: np.ndarray, kernel: int, iterations: int,
     h, w = mask_u8.shape
     out = np.empty((h, w), dtype=np.uint8)
     lib.sbb_morph_binary(mask_u8, h, w, kernel, iterations, int(dilate), out)
+    return out
+
+
+def morph_seq(mask: np.ndarray, prims) -> np.ndarray:
+    """Apply a sequence of ("erode"|"dilate", kernel, iterations) passes in
+    one native call (one conversion, buffers alternated in C)."""
+    lib = load()
+    assert lib is not None
+    mask_u8 = np.ascontiguousarray(np.asarray(mask) != 0, dtype=np.uint8)
+    h, w = mask_u8.shape
+    codes = np.asarray([1 if op == "dilate" else 0 for op, _, _ in prims],
+                       dtype=np.int64)
+    params = np.asarray([[k, it] for _, k, it in prims], dtype=np.int64)
+    out = np.empty((h, w), dtype=np.uint8)
+    lib.sbb_morph_seq(mask_u8, h, w, codes, params.reshape(-1),
+                      len(prims), out)
     return out

@@ -145,6 +145,37 @@ def erode_host(img: np.ndarray, kernel_size: int = 5, iterations: int = 1) -> np
     return _window_reduce_host(img, k, np.min, np.inf).astype(img.dtype)
 
 
+def morph_seq_host(img: np.ndarray, ops) -> np.ndarray:
+    """Apply a sequence of ("erode"|"dilate"|"open"|"close", kernel,
+    iterations) passes back to back. For binary 2-D masks this is ONE
+    native call (one dtype conversion + one foreground scan for the whole
+    chain — a page's post-processing runs ~40 open+close chains); the
+    composed host passes are the fallback and the parity oracle."""
+    prims = []
+    for op, k, it in ops:
+        if op in ("erode", "dilate"):
+            prims.append((op, k, it))
+        elif op == "open":
+            for _ in range(max(1, it)):
+                prims += [("erode", k, 1), ("dilate", k, 1)]
+        elif op == "close":
+            for _ in range(max(1, it)):
+                prims += [("dilate", k, 1), ("erode", k, 1)]
+        else:
+            raise ValueError(f"unknown morph op {op!r}")
+    from sbb_textline_detection_tpu import native_bridge
+
+    if native_bridge.available():
+        v = _binary_foreground_value(img)
+        if v is not None:
+            out = native_bridge.morph_seq(img, prims)
+            return (out * np.asarray(v, dtype=img.dtype)).astype(img.dtype)
+    x = img
+    for op, k, it in prims:
+        x = erode_host(x, k, it) if op == "erode" else dilate_host(x, k, it)
+    return x
+
+
 def morph_open_host(img: np.ndarray, kernel_size: int = 5) -> np.ndarray:
     return dilate_host(erode_host(img, kernel_size), kernel_size)
 

@@ -172,10 +172,24 @@ class TextlineDetector:
 
         # Page extraction for the whole group: K whole-image forwards fold
         # into one dispatch (stages.extract_page_batch); cost is attributed
-        # evenly so per-page stage keys stay comparable.
+        # evenly so per-page stage keys stay comparable. Before it runs,
+        # each page's margin-padded working image starts its host->device
+        # transfer (upload_canvas is async), so the big uploads overlap the
+        # border stage and the fused dispatch reads RESIDENT canvases.
         stagetime.reset()
         t0 = time.time()
         scaleds = [stages.scale_image(img, cfg) for img, _ in items]
+        region = self.models.region
+        canvases: Optional[List] = None
+        if cfg.runtime.resident_upload and hasattr(region, "upload_canvas"):
+            try:
+                canvases = [region.upload_canvas(s.image,
+                                                 cfg.tiling.margin_ratio)
+                            for s in scaleds]
+            except Exception:
+                LOG.warning("canvas upload failed; using the upload-per-"
+                            "dispatch path", exc_info=True)
+                canvases = None
         page_crops = stages.extract_page_batch(scaleds, self.models, cfg)
         t_page = (time.time() - t0) / len(items)
         d_page, f_page_group = stagetime.snapshot()
@@ -189,13 +203,15 @@ class TextlineDetector:
         # Pages fuse only with pages on the SAME tile grid: a smaller page
         # padded onto a larger group grid would see a moved canvas border
         # in the fused morphology and drift from its single-page result.
-        region = self.models.region
+        # The resident path additionally needs identical canvas shapes.
         if not hasattr(region, "grid_for"):
             return [self.device_phase(img, name) for img, name in items]
         subgroups: Dict[tuple, List[int]] = {}
         for idx, p in enumerate(pre):
             key = region.grid_for(p[2].shape[0], p[2].shape[1],
                                   cfg.tiling.margin_ratio)
+            if canvases is not None:
+                key = key + tuple(canvases[idx].shape)
             subgroups.setdefault(key, []).append(idx)
 
         states: List[Optional[_DeviceState]] = [None] * len(pre)
@@ -204,8 +220,17 @@ class TextlineDetector:
             t1 = time.time()
             fused = None
             try:
-                fused = stages.extract_regions_and_textline_multi(
-                    [pre[i][2] for i in idxs], self.models, cfg)
+                if canvases is not None:
+                    # page_coord = [y0, y1, x0, x1] in working coords
+                    boxes = [[pre[i][3][0], pre[i][3][2],
+                              pre[i][2].shape[0], pre[i][2].shape[1]]
+                             for i in idxs]
+                    fused = stages.extract_regions_and_textline_resident(
+                        [canvases[i] for i in idxs], boxes, self.models,
+                        cfg)
+                if fused is None:
+                    fused = stages.extract_regions_and_textline_multi(
+                        [pre[i][2] for i in idxs], self.models, cfg)
             except Exception:
                 LOG.warning("multi-page fused segmentation failed for %s; "
                             "falling back to per-page device phases",
@@ -356,7 +381,25 @@ class TextlineDetector:
                 stages.extract_page(scaled, self.models, cfg)
 
         def warm_dual():
-            if group > 1:
+            if group <= 1:
+                return
+            region = self.models.region
+            if hasattr(region, "upload_canvas"):
+                # the resident program is what the batch path dispatches;
+                # pick a box whose (ny, nx) lands on the grid bucket real
+                # page crops use (an A4 crop is narrower than the full
+                # scaled width)
+                canvases = [region.upload_canvas(page_img,
+                                                 cfg.tiling.margin_ratio)
+                            for _ in range(group)]
+                h = page_img.shape[0]
+                w = min(page_img.shape[1],
+                        8 * (region.input_hw[1]
+                             - 2 * int(cfg.tiling.margin_ratio
+                                       * region.input_hw[1])))
+                stages.extract_regions_and_textline_resident(
+                    canvases, [[0, 0, h, w]] * group, self.models, cfg)
+            else:
                 stages.extract_regions_and_textline_multi(
                     [page_img] * group, self.models, cfg)
 

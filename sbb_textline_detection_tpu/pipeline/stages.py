@@ -247,6 +247,28 @@ def extract_regions_and_textline_multi(image_pages, models: ModelBundle,
         post_morph=(("open", k, 1), ("close", k, 1)))
 
 
+def extract_regions_and_textline_resident(canvases, boxes,
+                                          models: ModelBundle,
+                                          cfg: PipelineConfig):
+    """Fused segmentation reading crops from RESIDENT device canvases
+    (runner.upload_canvas) with runtime page-box offsets: the full-page
+    upload overlapped the border stage instead of serializing before the
+    dispatch. Returns [(region_mask, textline_labels), ...] or None when
+    the bundle can't fuse."""
+    region, textline = models.region, models.textline
+    if not (hasattr(region, "predict_dual_tiled_resident")
+            and hasattr(textline, "input_hw")
+            and getattr(region, "input_hw", None) == textline.input_hw):
+        return None
+    k = cfg.morphology.kernel_size
+    return region.predict_dual_tiled_resident(
+        textline, canvases, boxes, cfg.tiling.margin_ratio,
+        morph=(("erode", k, cfg.morphology.region_erode_iterations),
+               ("dilate", k, cfg.morphology.region_dilate_iterations)),
+        mask_class=cfg.region.text_class_value,
+        post_morph=(("open", k, 1), ("close", k, 1)))
+
+
 def region_contours_and_boxes(region_mask: np.ndarray, cfg: PipelineConfig
                               ) -> Tuple[List[np.ndarray], List[List[int]]]:
     """Text-region contours (main.py:465-481) from the shaped binary mask
@@ -285,8 +307,8 @@ def textline_postprocess(crop_labels: np.ndarray, slope: float,
     try:
         k = cfg.morphology.kernel_size
         mask = (crop_labels.astype(np.uint8) * np.uint8(255))  # uint8 wrap, as upstream
-        mask = morphology.morph_open_host(mask, k)
-        mask = morphology.morph_close_host(mask, k)
+        mask = morphology.morph_seq_host(mask, (("open", k, 1),
+                                                ("close", k, 1)))
 
         dst = rotate_ops.rotate_mask_host(mask, slope)
 

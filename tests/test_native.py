@@ -162,6 +162,29 @@ def test_find_contours_native_vs_python_paths(nb):
         np.testing.assert_array_equal(a, b)
 
 
+def test_morph_seq_matches_composed_passes(nb):
+    """One-call morphology chains must equal the composed per-op host
+    passes (values included — foreground value is preserved)."""
+    from sbb_textline_detection_tpu.ops import morphology as m
+    for _ in range(10):
+        h, w = int(RNG.integers(12, 80)), int(RNG.integers(12, 80))
+        img = (_random_blobs(h, w, int(RNG.integers(1, 5)), RNG)
+               * np.uint8(255))
+        chain = (("open", 5, 1), ("close", 5, 1))
+        fast = m.morph_seq_host(img, chain)
+        slow = m.morph_close_host(m.morph_open_host(img, 5), 5)
+        np.testing.assert_array_equal(fast, slow)
+        chain2 = (("erode", 3, 2), ("dilate", 5, 1))
+        fast2 = m.morph_seq_host(img, chain2)
+        slow2 = m.dilate_host(m.erode_host(img, 3, 2), 5, 1)
+        np.testing.assert_array_equal(fast2, slow2)
+    # non-binary input falls back to the composed host path
+    gray = RNG.integers(0, 255, (30, 40)).astype(np.uint8)
+    np.testing.assert_array_equal(
+        m.morph_seq_host(gray, (("open", 5, 1),)),
+        m.morph_open_host(gray, 5))
+
+
 def test_rotate_f32_mask_matches_f64_threshold(nb):
     """The f32 rotate fast path must yield the same |v|>1e-3 thresholded
     mask as the f64 kernel on 0/255 binary inputs (the only way the
