@@ -125,6 +125,10 @@ def rotate_mask_host(mask: np.ndarray, angle_deg: float,
     tests/test_native.py) at ~2x the speed."""
     from sbb_textline_detection_tpu import native_bridge
 
+    if angle_deg == 0.0:
+        # bicubic at zero fractional offset is an exact identity
+        # (weights are [0, 1, 0, 0]); skip the warp entirely
+        return (np.asarray(mask) != 0).astype(np.uint8)
     if native_bridge.available():
         rot = native_bridge.rotate_f32(mask, angle_deg)
         return (np.abs(rot) > threshold).astype(np.uint8)
