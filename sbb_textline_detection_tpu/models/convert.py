@@ -66,9 +66,12 @@ def infer_geometry(h5_path: str) -> Tuple[Optional[int], Optional[int], int]:
 
 def convert_h5(h5_path: str, out_dir: str, name: Optional[str] = None,
                input_h: Optional[int] = None,
-               input_w: Optional[int] = None) -> str:
+               input_w: Optional[int] = None,
+               report_out=None) -> str:
     """Convert one .h5 into <out_dir>/<name>.npz; returns the output path.
-    Raises if the weight mapping is incomplete (loud, not silent)."""
+    Raises if the weight mapping is incomplete (loud, not silent);
+    `report_out`, if given, receives (spec, ImportReport) either way so
+    callers (the CLI) can surface the mapping summary."""
     from sbb_textline_detection_tpu.models import checkpoint, h5_import, registry
 
     gh, gw, n_classes = infer_geometry(h5_path)
@@ -81,11 +84,14 @@ def convert_h5(h5_path: str, out_dir: str, name: Optional[str] = None,
     import jax
     variables = jax.tree_util.tree_map(np.asarray, variables)
     filled, report = h5_import.import_h5(h5_path, variables)
+    if report_out is not None:
+        report_out.append((spec, report))
     if not report.complete:
         raise ValueError(
-            f"{h5_path}: incomplete import — unmapped source layers "
-            f"{report.unmapped_source[:5]}, unfilled target leaves "
-            f"{report.unfilled_target[:5]}")
+            f"{h5_path}: incomplete import — "
+            f"{len(report.mapped)} layers mapped, unmapped source layers "
+            f"{report.unmapped_source}, unfilled target leaves "
+            f"{report.unfilled_target}")
     os.makedirs(out_dir, exist_ok=True)
     out_path = checkpoint.checkpoint_path(out_dir, base)
     checkpoint.save(out_path, spec, filled)
@@ -114,9 +120,30 @@ def main(input_path, out, height, width):
             sys.exit(2)
     else:
         paths = [input_path]
+    failures = 0
     for p in paths:
-        out_path = convert_h5(p, out, input_h=height, input_w=width)
-        click.echo(f"{p} -> {out_path}")
+        reports = []
+        try:
+            out_path = convert_h5(p, out, input_h=height, input_w=width,
+                                  report_out=reports)
+        except Exception as exc:
+            failures += 1
+            click.echo(f"{p}: FAILED — {exc}", err=True)
+            if reports:
+                _, rep = reports[0]
+                click.echo(
+                    f"  mapped {len(rep.mapped)} layers; "
+                    f"unmapped source: {rep.unmapped_source or 'none'}; "
+                    f"unfilled target: {rep.unfilled_target or 'none'}",
+                    err=True)
+            continue
+        spec, rep = reports[0]
+        click.echo(
+            f"{p} -> {out_path}  [{spec.arch} {spec.input_height}x"
+            f"{spec.input_width} n_classes={spec.n_classes}; "
+            f"{len(rep.mapped)} layers mapped, import complete]")
+    if failures:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -47,6 +47,27 @@ def test_convert_cli(fake_h5, tmp_path):
                              ["-i", fake_h5, "-o", str(tmp_path / "out")])
     assert res.exit_code == 0, res.output
     assert "model_fake_best.npz" in res.output
+    # the mapping summary is surfaced, not just the output path
+    assert "layers mapped, import complete" in res.output
+    assert "n_classes=" in res.output
+
+
+def test_convert_cli_surfaces_failure_report(tmp_path):
+    import h5py
+    from click.testing import CliRunner
+    bad = str(tmp_path / "bad.h5")
+    with h5py.File(bad, "w") as f:
+        g = f.create_group("model_weights")
+        lg = g.create_group("conv1")
+        lg.create_dataset("conv1/kernel:0",
+                          data=np.zeros((7, 7, 3, 64), np.float32))
+        lg.attrs["weight_names"] = [b"conv1/kernel:0"]
+        g.attrs["layer_names"] = [b"conv1"]
+    res = CliRunner().invoke(convert.main,
+                             ["-i", bad, "-o", str(tmp_path / "out")])
+    assert res.exit_code == 1
+    assert "FAILED" in res.output
+    assert "unfilled target" in res.output
 
 
 def test_convert_incomplete_h5_raises(tmp_path):
