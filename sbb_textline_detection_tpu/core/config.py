@@ -162,8 +162,12 @@ class RuntimeConfig:
     exact_point_in_polygon: bool = True
     # Pages folded into one fused segmentation dispatch by process_batch
     # (pages x tiles as the forward batch dim; SURVEY §2.4's data-parallel
-    # pages). 1 disables grouping.
-    pages_per_dispatch: int = 2
+    # pages). 1 disables grouping: on the single-chip serving tunnel,
+    # per-page dispatches pipeline better against host post-processing
+    # (interleaved A/B medians 0.73 vs 0.65 pages/s) and cut latency;
+    # raise on hosts with more cores or real multi-chip meshes, where the
+    # grouped program amortizes per-dispatch overhead across the mesh.
+    pages_per_dispatch: int = 1
     # Batch path: upload each page's margin-padded working image at the
     # START of the device phase (runner.upload_canvas) and let the fused
     # program slice the crop with runtime box offsets, instead of

@@ -97,6 +97,17 @@ class TextlineDetector:
         stagetime.reset()
         t0 = time.time()
         scaled = stages.scale_image(image, cfg)
+        canvas = None
+        if cfg.runtime.resident_upload and \
+                hasattr(self.models.region, "upload_canvas"):
+            try:
+                canvas = self.models.region.upload_canvas(
+                    scaled.image, cfg.tiling.margin_ratio)
+            except Exception:
+                LOG.warning("canvas upload failed for %s; using the "
+                            "upload-per-dispatch path", image_filename,
+                            exc_info=True)
+                canvas = None
         image_page, page_coord, cont_page = stages.extract_page(
             scaled, self.models, cfg)
         t["page_extraction"] = time.time() - t0
@@ -109,8 +120,15 @@ class TextlineDetector:
         t1 = time.time()
         fused = None
         try:
-            fused = stages.extract_regions_and_textline(
-                image_page, self.models, cfg)
+            if canvas is not None:
+                box = [page_coord[0], page_coord[2],
+                       image_page.shape[0], image_page.shape[1]]
+                res = stages.extract_regions_and_textline_resident(
+                    [canvas], [box], self.models, cfg)
+                fused = res[0] if res else None
+            if fused is None:
+                fused = stages.extract_regions_and_textline(
+                    image_page, self.models, cfg)
         except Exception:
             LOG.warning("fused segmentation failed for %s; retrying the "
                         "separate per-model path", image_filename,
@@ -404,7 +422,21 @@ class TextlineDetector:
                     [page_img] * group, self.models, cfg)
 
         def warm_dual_single():
-            stages.extract_regions_and_textline(page_img, self.models, cfg)
+            region = self.models.region
+            if cfg.runtime.resident_upload and \
+                    hasattr(region, "upload_canvas"):
+                canvas = region.upload_canvas(page_img,
+                                              cfg.tiling.margin_ratio)
+                h = page_img.shape[0]
+                w = min(page_img.shape[1],
+                        8 * (region.input_hw[1]
+                             - 2 * int(cfg.tiling.margin_ratio
+                                       * region.input_hw[1])))
+                stages.extract_regions_and_textline_resident(
+                    [canvas], [[0, 0, h, w]], self.models, cfg)
+            else:
+                stages.extract_regions_and_textline(page_img, self.models,
+                                                    cfg)
 
         def warm_deskew():
             s = min(512, self.deskew.max_canvas)
