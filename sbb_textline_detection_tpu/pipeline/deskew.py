@@ -240,9 +240,11 @@ class DeskewEngine:
         return next((b for b in _BUCKETS if b >= target and
                      b <= self.max_canvas), self.max_canvas)
 
-    def _sweep_batched(self, canvases: np.ndarray, s: int,
-                       angles: np.ndarray) -> List[float]:
-        """(R, S, S) canvases -> per-region best angle over `angles`."""
+    def _sweep_dispatch(self, canvases: np.ndarray, s: int,
+                        angles: np.ndarray):
+        """Dispatch one group's sweep; returns the on-device stacked
+        [valid, score] array (fetch deferred so several groups' sweeps
+        queue on the device before the first result is pulled back)."""
         r = canvases.shape[0]
         a = angles.shape[0]
         f = r * a
@@ -263,16 +265,27 @@ class DeskewEngine:
             bool(use_pallas))
         from sbb_textline_detection_tpu.ops import pack as pack_ops
         packed = pack_ops.pack1_host(canvases)
-        with stagetime.device_section(radon_flops):
-            P = radon(jnp.asarray(packed), jnp.asarray(angles),
-                      jnp.asarray(ridx, jnp.int32),
-                      jnp.asarray(aidx, jnp.int32))
-            vs = np.asarray(_score_profiles(
-                P, sigma=float(self.cfg.sigma),
-                multiplier=float(self.cfg.peak_threshold_multiplier),
-                pos_min=float(self.cfg.pos_peak_min_value)))
-            valid = vs[0, :f].reshape(r, a) != 0.0
-            score = vs[1, :f].reshape(r, a)
+        t0 = __import__("time").time()
+        P = radon(jnp.asarray(packed), jnp.asarray(angles),
+                  jnp.asarray(ridx, jnp.int32),
+                  jnp.asarray(aidx, jnp.int32))
+        vs_dev = _score_profiles(
+            P, sigma=float(self.cfg.sigma),
+            multiplier=float(self.cfg.peak_threshold_multiplier),
+            pos_min=float(self.cfg.pos_peak_min_value))
+        stagetime.add(__import__("time").time() - t0, radon_flops)
+        return vs_dev
+
+    def _sweep_collect(self, vs_dev, r: int, angles: np.ndarray
+                       ) -> List[float]:
+        """Fetch one group's [valid, score] result and pick per-region
+        best angles (upstream argmax semantics, see module docstring)."""
+        a = angles.shape[0]
+        f = r * a
+        with stagetime.device_section(0.0):
+            vs = np.asarray(vs_dev)
+        valid = vs[0, :f].reshape(r, a) != 0.0
+        score = vs[1, :f].reshape(r, a)
         out = []
         for i in range(r):
             v = valid[i]
@@ -281,6 +294,13 @@ class DeskewEngine:
             else:
                 out.append(float(angles[v][int(np.argmax(score[i][v]))]))
         return out
+
+    def _sweep_batched(self, canvases: np.ndarray, s: int,
+                       angles: np.ndarray) -> List[float]:
+        """(R, S, S) canvases -> per-region best angle over `angles`."""
+        return self._sweep_collect(
+            self._sweep_dispatch(canvases, s, angles),
+            canvases.shape[0], angles)
 
     # -- public API ----------------------------------------------------------
     def best_angles(self, crops: Sequence[np.ndarray]) -> List[float]:
@@ -323,7 +343,26 @@ class DeskewEngine:
     def _sweep_grouped(self, crops: Sequence[np.ndarray], s: int,
                        angles: np.ndarray, render) -> List[float]:
         buckets = self._batch_buckets()
-        out: List[float] = []
+        # _sweep_batched is the behavioral seam (tests stub it per group);
+        # an instance-level override bypasses the dispatch/collect split
+        if "_sweep_batched" in self.__dict__:
+            out: List[float] = []
+            start = 0
+            while start < len(crops):
+                remaining = len(crops) - start
+                b = next((bb for bb in buckets if bb >= remaining),
+                         buckets[-1])
+                group = crops[start:start + b]
+                buf = np.zeros((b, s, s), dtype=np.uint8)
+                for i, crop in enumerate(group):
+                    render(crop, buf[i])
+                out.extend(self._sweep_batched(buf, s, angles)[:len(group)])
+                start += b
+            return out
+        # dispatch every group's sweep first, then fetch: the groups queue
+        # back to back on the device instead of paying one dispatch+fetch
+        # round trip (~35 ms on the serving tunnel) per group
+        pending = []
         start = 0
         while start < len(crops):
             remaining = len(crops) - start
@@ -332,8 +371,12 @@ class DeskewEngine:
             buf = np.zeros((b, s, s), dtype=np.uint8)
             for i, crop in enumerate(group):
                 render(crop, buf[i])
-            out.extend(self._sweep_batched(buf, s, angles)[:len(group)])
+            pending.append((self._sweep_dispatch(buf, s, angles), b,
+                            len(group)))
             start += b
+        out: List[float] = []
+        for vs_dev, b, n_real in pending:
+            out.extend(self._sweep_collect(vs_dev, b, angles)[:n_real])
         return out
 
     def best_angle(self, crop: np.ndarray) -> float:
