@@ -49,16 +49,61 @@ def rotate_points(pts: np.ndarray, h: int, w: int,
     return (pts - c) @ M.T + c
 
 
+def _box_blur(img_f: np.ndarray, radius: int) -> np.ndarray:
+    """Separable box blur via sliding sums (radius >= 1), edge-replicated."""
+    k = 2 * radius + 1
+    for axis in (0, 1):
+        pad = [(0, 0)] * img_f.ndim
+        pad[axis] = (radius, radius)
+        x = np.pad(img_f, pad, mode="edge")
+        c = np.cumsum(x, axis=axis, dtype=np.float32)
+        lead = np.take(c, np.arange(k - 1, x.shape[axis]), axis=axis)
+        lag = np.concatenate(
+            [np.zeros_like(np.take(c, [0], axis=axis)),
+             np.take(c, np.arange(0, x.shape[axis] - k), axis=axis)], axis=axis)
+        img_f = (lead - lag) / k
+    return img_f
+
+
+def degrade_page(rng: np.random.Generator, img: np.ndarray,
+                 strength: float = 1.0) -> np.ndarray:
+    """Scan-realism degradations applied to a rendered page: optical blur,
+    sensor noise, contrast squeeze toward gray, low-frequency stains, and
+    salt-and-pepper dropouts. `strength` scales every effect (1.0 = a
+    poorly-stored newspaper scan; bench pages use it to make the quality
+    block informative instead of trivially saturated)."""
+    h, w = img.shape[:2]
+    out = img.astype(np.float32)
+    out = _box_blur(out, int(1 + round(strength)))
+    out += rng.normal(0.0, 5.0 * strength,
+                      (h, w)).astype(np.float32)[..., None]
+    squeeze = 1.0 - 0.25 * strength * rng.uniform(0.6, 1.0)
+    out = (out - 128.0) * squeeze + 128.0 + rng.uniform(-8.0, 8.0)
+    yy = np.arange(h, dtype=np.float32)[:, None]
+    xx = np.arange(w, dtype=np.float32)[None, :]
+    for _ in range(int(rng.integers(1, 4))):
+        cy = float(rng.uniform(0, h))
+        cx = float(rng.uniform(0, w))
+        rad = float(rng.uniform(h / 12, h / 5))
+        blob = np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (rad * rad))
+        out -= (20.0 * strength * rng.uniform(0.4, 1.0)) * blob[..., None]
+    sp = rng.uniform(size=(h, w))
+    out[sp < 0.0008 * strength] = 0.0
+    out[sp > 1.0 - 0.0008 * strength] = 255.0
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
 def make_page(rng: np.random.Generator, h: int = 3508, w: int = 2480,
-              n_columns: int | None = None, skew_deg: float = 0.0
+              n_columns: int | None = None, skew_deg: float = 0.0,
+              degrade: float = 0.0
               ) -> Tuple[np.ndarray, PageLayout]:
     """A 300-DPI-like scanned page: light paper, dark text-line strokes in
     1-2 columns of paragraphs, realistic margins. Returns (RGB uint8, truth).
 
     With `skew_deg` != 0 the rendered page is rotated (bilinear, paper
     fill) like a crooked scan; ground truth stays in the upright frame
-    with the angle recorded (see PageLayout).
-    """
+    with the angle recorded (see PageLayout). With `degrade` > 0 the
+    rendered scan passes through degrade_page at that strength."""
     paper = int(rng.integers(235, 252))
     img = np.full((h, w, 3), paper, np.uint8)
     # subtle scan noise
@@ -108,6 +153,8 @@ def make_page(rng: np.random.Generator, h: int = 3508, w: int = 2480,
         img = np.asarray(Image.fromarray(img).rotate(
             skew_deg, resample=Image.BILINEAR,
             fillcolor=(paper, paper, paper)))
+    if degrade > 0.0:
+        img = degrade_page(rng, img, degrade)
     return img, PageLayout(ps, paragraphs, n_lines, line_boxes,
                            skew_deg, (h, w))
 
@@ -152,8 +199,20 @@ def _stripes_patch(rng: np.random.Generator, h: int, w: int
         block[top:bottom, x0:x1] = 1
         # paragraph gap: clearly larger than the inter-line gap
         y += int(rng.integers(int(0.8 * pitch), int(2.2 * pitch)))
+    img = _augment_patch(rng, img)
     img3 = np.repeat(img[:, :, None], 3, axis=2)
     return img3, stroke, block
+
+
+def _augment_patch(rng: np.random.Generator, img: np.ndarray) -> np.ndarray:
+    """Mild train-time degradations (blur / noise / contrast jitter) so the
+    models stay robust to the scan defects degrade_page simulates at page
+    scale. Applied to float [0,1] single-channel patches."""
+    if rng.uniform() < 0.5:
+        img = _box_blur(img[:, :, None].astype(np.float32), 1)[:, :, 0]
+    img = img + rng.normal(0.0, 0.02, img.shape).astype(np.float32)
+    img = (img - 0.5) * rng.uniform(0.75, 1.0) + 0.5 + rng.uniform(-0.04, 0.04)
+    return np.clip(img, 0.0, 1.0).astype(np.float32)
 
 
 def textline_batch(rng: np.random.Generator, n: int, h: int, w: int
@@ -205,6 +264,7 @@ def page_batch(rng: np.random.Generator, n: int, h: int, w: int
                         cx0 + 1:cx0 + col_w - int(rng.integers(1, col_w // 5))
                         ] = rng.uniform(0.1, 0.5)
         labels[i, my:h - my, mx:w - mx] = 1
+        img = _augment_patch(rng, img)
         imgs[i] = np.repeat(img[:, :, None], 3, axis=2)
     return imgs, labels
 
