@@ -71,11 +71,22 @@ def main(image, out, model, synthetic_models, profile, timings):
     with profiling.trace(profile):
         if len(paths) > 1:
             # Pipelined batch: device phase of page N+1 overlaps host
-            # phase of N.
-            t0 = time.time()
+            # phase of N. Pre-load every device program in parallel first
+            # (sized to the first page) — program loads through the
+            # serving transport stall independently, so overlapping them
+            # collapses the cold start to the slowest single load.
             from sbb_textline_detection_tpu.pipeline.detector import load_image
-            results = detector.process_batch(
-                (load_image(p), p) for p in paths)
+            first = load_image(paths[0])
+            t0 = time.time()
+            detector.warm_up(first.shape[0], first.shape[1])
+            click.echo(f"[warm-up {time.time() - t0:.1f}s]", err=True)
+            def pages():
+                yield first, paths[0]
+                for p in paths[1:]:
+                    yield load_image(p), p
+
+            t0 = time.time()
+            results = detector.process_batch(pages())
             for path, res in zip(paths, results):
                 f_name = os.path.splitext(os.path.basename(path))[0]
                 xml_path = res.write(out, f_name)
