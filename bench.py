@@ -35,6 +35,19 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
 
+def _ensure_native() -> None:
+    """Best-effort build of the C++ host-geometry library: the bench must
+    measure the native path, not the numpy fallbacks, on a fresh checkout."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        subprocess.run(["make", "-C", os.path.join(here, "native")],
+                       check=True, capture_output=True)
+    except (OSError, subprocess.CalledProcessError):
+        _log("[bench] WARNING: native build failed; numpy fallbacks in use")
+
+
 TARGET_PAGES_PER_SEC = 50.0
 # Peak bf16 MXU throughput of one v5e chip (FLOP/s) for the MFU estimate.
 PEAK_FLOPS = float(os.environ.get("SBB_BENCH_PEAK_FLOPS", 197e12))
@@ -44,6 +57,9 @@ _CKPT_CACHE = os.environ.get(
 
 def _log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
+
+
+_ensure_native()
 
 
 def ensure_bench_checkpoints(ckpt_dir: str, steps: int, seed: int = 0) -> str:
