@@ -23,12 +23,13 @@ from sbb_textline_detection_tpu.core.config import PageXmlConfig
 
 def _points_str(points, off_x: float, off_y: float,
                 scale_x: float, scale_y: float) -> str:
-    parts = []
-    for pt in points:
-        pt = np.asarray(pt).reshape(-1)
-        parts.append(
-            f"{int((pt[0] + off_x) / scale_x)},{int((pt[1] + off_y) / scale_y)}")
-    return " ".join(parts)
+    # int() truncates toward zero; float->int64 astype is the same C
+    # truncation, so this vectorization is bit-identical to the reference's
+    # per-point int() mapping (main.py:1995-2008) at ~10x the speed
+    pts = np.asarray(points, np.float64).reshape(-1, 2)
+    xs = ((pts[:, 0] + off_x) / scale_x).astype(np.int64).tolist()
+    ys = ((pts[:, 1] + off_y) / scale_y).astype(np.int64).tolist()
+    return " ".join(f"{x},{y}" for x, y in zip(xs, ys))
 
 
 def build_page_xml(*,
