@@ -62,8 +62,62 @@ def _key_str(k) -> str:
     return str(k)
 
 
-def checkpoint_path(model_dir: str, name: str) -> str:
-    """Resolve `<model_dir>/<name>.npz`, tolerating a legacy `.h5` suffix in
-    the configured name."""
+def npz_path(model_dir: str, name: str) -> str:
+    """Plain `<model_dir>/<name>.npz` (no conversion logic), tolerating a
+    legacy `.h5` suffix in the configured name."""
     base = name[:-3] if name.endswith(".h5") else name
     return os.path.join(model_dir, base + ".npz")
+
+
+def checkpoint_path(model_dir: str, name: str) -> str:
+    """Resolve `<model_dir>/<name>.npz`, tolerating a legacy `.h5` suffix in
+    the configured name.
+
+    Drop-in `.h5` support: the reference CLI points `-m` at a directory of
+    Keras `.h5` checkpoints directly (upstream main.py:58-60, loaded at
+    main.py:216-223). When `<name>.h5` exists and the converted `.npz`
+    sibling is missing or older than the `.h5`, it is converted on load
+    (models/convert.py) and cached as the sibling; a partial weight map
+    raises loudly with the ImportReport summary rather than silently
+    degrading every page. If `model_dir` is read-only the cache falls back
+    to `~/.cache/sbb_textline_detection_tpu/`."""
+    import logging
+
+    base = name[:-3] if name.endswith(".h5") else name
+    npz = os.path.join(model_dir, base + ".npz")
+    h5 = os.path.join(model_dir, base + ".h5")
+    if not os.path.exists(h5):
+        return npz
+    cache_dir = os.path.join(
+        os.path.expanduser("~"), ".cache", "sbb_textline_detection_tpu",
+        _dir_cache_key(model_dir))
+    cached = os.path.join(cache_dir, base + ".npz")
+    for candidate in (npz, cached):
+        if os.path.exists(candidate) and \
+                os.path.getmtime(candidate) >= os.path.getmtime(h5):
+            return candidate
+    log = logging.getLogger("sbb_textline_detection_tpu.checkpoint")
+    from sbb_textline_detection_tpu.models.convert import convert_h5
+
+    reports: list = []
+    for out_dir, out_path in ((model_dir, npz), (cache_dir, cached)):
+        try:
+            path = convert_h5(h5, out_dir, name=base, report_out=reports)
+        except (OSError, PermissionError) as exc:
+            log.warning("cannot write converted checkpoint next to %s "
+                        "(%s); trying the user cache", h5, exc)
+            continue
+        spec, report = reports[-1]
+        log.info("converted %s -> %s [%s %dx%d n_classes=%d; %d layers "
+                 "mapped]", h5, path, spec.arch, spec.input_height,
+                 spec.input_width, spec.n_classes, len(report.mapped))
+        return path
+    raise OSError(f"could not write a converted checkpoint for {h5} "
+                  f"(model dir and user cache both unwritable)")
+
+
+def _dir_cache_key(model_dir: str) -> str:
+    import hashlib
+
+    return hashlib.sha256(
+        os.path.abspath(model_dir).encode("utf-8")).hexdigest()[:16]

@@ -93,7 +93,7 @@ def convert_h5(h5_path: str, out_dir: str, name: Optional[str] = None,
             f"{report.unmapped_source}, unfilled target leaves "
             f"{report.unfilled_target}")
     os.makedirs(out_dir, exist_ok=True)
-    out_path = checkpoint.checkpoint_path(out_dir, base)
+    out_path = checkpoint.npz_path(out_dir, base)
     checkpoint.save(out_path, spec, filled)
     return out_path
 

@@ -91,6 +91,43 @@ def coordinates_for_segment(poly: np.ndarray,
     return transform_polygon(poly, np.linalg.inv(np.asarray(transform)))
 
 
+# -- processing metadata -------------------------------------------------------
+
+def add_processing_step_metadata(target_root: ET.Element, executable: str,
+                                 version: str, step: str,
+                                 parameters: Optional[dict] = None) -> None:
+    """Record this processing step in the PcGts Metadata — the reference
+    calls ocrd core's `self.add_metadata(pcgts)` (upstream ocrd_cli.py:132),
+    which appends a MetadataItem of type "processingStep" naming the tool,
+    its version, and its parameters; downstream OCR-D workflows rely on
+    that provenance. Framework-free equivalent: the MetadataItem is
+    appended to the (created-if-missing) Metadata element with a Labels
+    group per ocrd core's layout (externalModel="ocrd-tool",
+    externalId="parameters", one Label per parameter)."""
+    ns = _ns_of(target_root)
+    metadata = find_child(target_root, "Metadata")
+    if metadata is None:
+        metadata = ET.Element(ns + "Metadata")
+        target_root.insert(0, metadata)
+    item = ET.SubElement(metadata, ns + "MetadataItem")
+    item.set("type", "processingStep")
+    item.set("name", step)
+    item.set("value", executable)
+    labels = ET.SubElement(item, ns + "Labels")
+    labels.set("externalModel", "ocrd-tool")
+    labels.set("externalId", "parameters")
+    for key, value in (parameters or {}).items():
+        label = ET.SubElement(labels, ns + "Label")
+        label.set("type", str(key))
+        label.set("value", str(value))
+    vlabels = ET.SubElement(item, ns + "Labels")
+    vlabels.set("externalModel", "ocrd-tool")
+    vlabels.set("externalId", "version")
+    vlabel = ET.SubElement(vlabels, ns + "Label")
+    vlabel.set("type", executable)
+    vlabel.set("value", str(version))
+
+
 # -- merge ---------------------------------------------------------------------
 
 def _page_frame_polygon(page: ET.Element) -> np.ndarray:

@@ -106,6 +106,15 @@ class OcrdSbbTextlineDetectorRecognize:
                 target_root, result.xml_tree.getroot(),
                 transform=np.asarray(page_coords["transform"]))
 
+            # processing-step provenance (reference `self.add_metadata`,
+            # ocrd_cli.py:132)
+            tool = ocrd_tool()
+            name = next(iter(tool["tools"]))
+            merge.add_processing_step_metadata(
+                target_root, executable=name, version=tool["version"],
+                step=tool["tools"][name]["steps"][0],
+                parameters=self.parameter)
+
             content = ET.tostring(target_root, encoding="unicode")
             self.workspace.add_file(
                 ID=file_id,

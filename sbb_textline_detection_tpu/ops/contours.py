@@ -107,7 +107,8 @@ def _find_contours_native(mask: np.ndarray, simplify: bool) -> List[np.ndarray]:
     reductions) and Moore tracing (native/sbb_native.cpp)."""
     from sbb_textline_detection_tpu import native_bridge
 
-    labels, n, boxes, seeds = native_bridge.label_components_stats(mask)
+    labels, n, boxes, seeds = \
+        native_bridge._label_components_stats_borrowed(mask)
     out: List[np.ndarray] = []
     if n == 0:
         return out

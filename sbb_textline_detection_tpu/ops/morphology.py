@@ -156,11 +156,10 @@ def morph_seq_host(img: np.ndarray, ops) -> np.ndarray:
         if op in ("erode", "dilate"):
             prims.append((op, k, it))
         elif op == "open":
-            for _ in range(max(1, it)):
-                prims += [("erode", k, 1), ("dilate", k, 1)]
+            # cv2.morphologyEx iteration semantics: erode x it, dilate x it
+            prims += [("erode", k, max(1, it)), ("dilate", k, max(1, it))]
         elif op == "close":
-            for _ in range(max(1, it)):
-                prims += [("dilate", k, 1), ("erode", k, 1)]
+            prims += [("dilate", k, max(1, it)), ("erode", k, max(1, it))]
         else:
             raise ValueError(f"unknown morph op {op!r}")
     from sbb_textline_detection_tpu import native_bridge

@@ -17,6 +17,28 @@ degrade paths, and exact (peaks, boxes) equality otherwise. A coverage
 counter proves all four peak-count branches, the strong/weak multiplier
 split, and the cluster-deletion wrap-around quirk (main.py:687 idx==0 ->
 peaks[-1]) actually executed.
+
+Variant-difference audit (closing the unified-transcription risk): a full
+textual diff of seperate_lines (main.py:516-991) against
+seperate_lines_vertical (main.py:993-1457) is 83 lines and contains
+EXACTLY the hunks below; everything else — sigma estimation, 0.42 valley
+pruning, cluster deletion incl. the idx==0 wrap, the 1.1/1.23/1.33/1.3/1.4
+and 1/1.9-1/1.8-1/1.7 multipliers, the shape[0] clamp in the two-peak and
+generic branches (NOT shape[1] in the vertical variant), and the emit-time
+<0 clamps — is byte-identical between the two functions.
+
+| # | horizontal (main.py)  | vertical (main.py)     | difference | oracle model |
+|---|----------------------|------------------------|------------|--------------|
+| 1 | 516 (def)            | 993-997: thetha += 90  | angle offset | `thetha + 90` when vertical |
+| 2 | 539: sum(axis=1)     | 1020: sum(axis=0)      | projection axis | `axis=0 if vertical else 1` |
+| 3 | 646: max over pos peaks | 1127: max over valleys | 0.42-pruning normalizer | `neg_peaks_max` branch |
+| 4 | 698-713: commented-out plt calls | absent       | comments only — no behavior | omitted |
+| 5 | 754/757: last-line point_down = y_max_cont-1 | 1220/1223: = x_max_cont-1 | last-line extent | `(x_max_cont if vertical else y_max_cont) - 1` |
+| 6 | 793-796, 891-894, 958-961: corners (x_min/x_max, point_up/point_down) | 1259-1262, 1357-1360, 1424-1427: corners (point_up/point_down, y_min/y_max) | corner layout (axes swapped) | `corners_for()` |
+| 7 | 832-835: single-peak corners from x/y_min/max | 1298-1301: reads point_up/point_down — never assigned | NameError (caught upstream -> no lines) | explicit raise NameError |
+
+Any future divergence found between the functions must be added to this
+table AND modeled in the oracle.
 """
 
 import numpy as np

@@ -230,3 +230,50 @@ def test_merge_keeps_alternative_image_before_border():
     assert tags[:4] == ["AlternativeImage", "AlternativeImage", "Border",
                         "ReadingOrder"]
     assert tags[4:] == ["TextRegion"]
+
+
+def test_add_processing_step_metadata_roundtrip():
+    """The reference records a processing-step agent via ocrd core's
+    `self.add_metadata(pcgts)` (ocrd_cli.py:132); the framework-free
+    equivalent must create the MetadataItem with tool name, step, version,
+    and parameters, and survive a serialize/parse round trip."""
+    target = _target_page(with_old=False)
+    merge.merge_detection_into_page(target, _detection())
+    merge.add_processing_step_metadata(
+        target, executable="ocrd-sbb-textline-detector-tpu",
+        version="1.0.0", step="layout/segmentation/region",
+        parameters={"model": "/models"})
+    # round-trip through serialization
+    reparsed = ET.fromstring(ET.tostring(target, encoding="unicode"))
+    md = merge.find_child(reparsed, "Metadata")
+    assert md is not None
+    items = merge.find_children(md, "MetadataItem")
+    assert len(items) == 1
+    item = items[0]
+    assert item.get("type") == "processingStep"
+    assert item.get("name") == "layout/segmentation/region"
+    assert item.get("value") == "ocrd-sbb-textline-detector-tpu"
+    labels = merge.find_children(item, "Labels")
+    params = [l for l in labels if l.get("externalId") == "parameters"]
+    assert len(params) == 1
+    label = merge.find_children(params[0], "Label")[0]
+    assert label.get("type") == "model" and label.get("value") == "/models"
+    versions = [l for l in labels if l.get("externalId") == "version"]
+    assert merge.find_children(versions[0], "Label")[0].get("value") == "1.0.0"
+    # Metadata is the FIRST PcGts child (PAGE schema order) and inherits
+    # the document namespace
+    assert merge.local(reparsed[0].tag) == "Metadata"
+    assert item.tag == f"{{{NS}}}MetadataItem"
+
+
+def test_add_processing_step_metadata_appends_to_existing():
+    target = _target_page(with_old=False)
+    md = ET.Element(f"{{{NS}}}Metadata")
+    ET.SubElement(md, f"{{{NS}}}Creator").text = "existing"
+    target.insert(0, md)
+    merge.add_processing_step_metadata(
+        target, executable="x", version="0", step="s", parameters={})
+    mds = merge.find_children(target, "Metadata")
+    assert len(mds) == 1
+    assert merge.find_child(mds[0], "Creator").text == "existing"
+    assert len(merge.find_children(mds[0], "MetadataItem")) == 1
