@@ -137,14 +137,16 @@ class RuntimeConfig:
     # measured 30% faster than 16 on the v5e (fewer loop trips, fuller
     # batches) at ~6 GB peak activations.
     tile_chunk: int = 96
-    # Tile-grid (ny, nx) dimensions round up to multiples of this, so pages
+    # Tile-grid (ny, nx) dimensions round up to multiples of these, so pages
     # whose crops differ by a few hundred pixels share one compiled tiled
     # program (cold-start and recompile control; padded rows/cols are white
-    # and cropped away after stitching). 4 puts every A4-ish crop — skewed
-    # or not — on ONE program, which also lets process_batch fuse mixed
-    # pages into one dispatch; the ~20% extra (white) tiles are cheaper
-    # than a second compile + separate dispatches.
+    # and cropped away after stitching). Per-axis buckets (VERDICT r2 #4):
+    # y keeps 4 (A4-ish crops land on ny=12 regardless), x uses 2 — an A4
+    # crop's ~9-tile row rounds to 10 instead of 12, cutting the all-white
+    # tile share from ~33% to ~11% while page-box jitter of +-1 tile still
+    # lands on the same compiled program.
     grid_bucket: int = 4
+    grid_bucket_x: int = 2
     # Model compute dtype. Params are kept fp32; matmul/conv run in bf16.
     compute_dtype: str = "bfloat16"
     # Maximum regions processed by the fixed-shape deskew sweep at once
@@ -160,6 +162,15 @@ class RuntimeConfig:
     # Use the exact point-in-polygon test against traced contours (reference
     # semantics) instead of the rasterized-mask fast path.
     exact_point_in_polygon: bool = True
+    # Device-resident deskew + line profiles: the fused segmentation
+    # program keeps the textline canvas in HBM and one dispatch per region
+    # group runs crop/erode/sweep/morph/deskewed-projection there
+    # (pipeline/deskew.py resident section; DEVIATIONS #10). Falls back to
+    # the host path on any failure or when a region exceeds the buffer.
+    resident_deskew: bool = True
+    # Static full-resolution crop buffer cap for the resident deskew
+    # program (pages whose region crops exceed it use the host path).
+    deskew_buf_max: int = 2816
     # Pages folded into one fused segmentation dispatch by process_batch
     # (pages x tiles as the forward batch dim; SURVEY §2.4's data-parallel
     # pages). 1 disables grouping: on the single-chip serving tunnel,
@@ -168,6 +179,19 @@ class RuntimeConfig:
     # raise on hosts with more cores or real multi-chip meshes, where the
     # grouped program amortizes per-dispatch overhead across the mesh.
     pages_per_dispatch: int = 1
+    # Auto-raise pages_per_dispatch to the mesh's data-axis size when the
+    # models carry a multi-chip Mesh: the grouped fused program is the
+    # whole point of a data axis (each chip takes ~1/N of the pages x
+    # tiles batch), while the single-chip A/B above keeps 1 elsewhere.
+    mesh_auto_group: bool = True
+    # Single-page path: upload the ORIGINAL page (upload_raw) and let the
+    # fused program materialize the working-resolution canvas on device
+    # through exact INTER_NEAREST index maps — the ~10 MP host resize of
+    # scale_image (main.py:196-214) never runs and the h2d transfer
+    # shrinks ~30%. Bit-identical outputs (the index maps are the same
+    # gather the host resize performs). Falls back to the standard path
+    # on any failure.
+    raw_upload: bool = True
     # Batch path: upload each page's margin-padded working image at the
     # START of the device phase (runner.upload_canvas) and let the fused
     # program slice the crop with runtime box offsets, instead of

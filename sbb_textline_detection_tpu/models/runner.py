@@ -191,12 +191,25 @@ class SegmentationModel:
         One batch-1 dispatch, 2-bit-packed transfer back."""
         mh, mw = self.input_hw
         small = resize_ops.resize_nearest_host(img_u8, mh, mw)
+        return self.predict_small_prescaled(small)
+
+    def predict_small_prescaled(self, small_u8: np.ndarray) -> np.ndarray:
+        """predict_whole_small when the (model_h, model_w) input was
+        already produced — e.g. gathered straight from the ORIGINAL page
+        via the exact composed two-stage nearest index map
+        (ops/resize.compose_nearest_indices), skipping the full-resolution
+        host resize entirely."""
+        mh, mw = self.input_hw
+        if small_u8.shape[:2] != (mh, mw):
+            raise ValueError(f"expected {(mh, mw)} input, got "
+                             f"{small_u8.shape[:2]}")
         if self._whole_compiled is None:
             self._whole_compiled = self._aot(
-                self._forward_whole_jit, self.variables, small)
+                self._forward_whole_jit, self.variables, small_u8)
         compiled, flops = self._whole_compiled
         with stagetime.device_section(flops):
-            packed = np.asarray(compiled(self.variables, jnp.asarray(small)))
+            packed = np.asarray(compiled(self.variables,
+                                         jnp.asarray(small_u8)))
         return pack_ops.unpack2_host(packed, (mh, mw))
 
     def predict_whole_small_batch(self, imgs_u8) -> np.ndarray:
@@ -231,17 +244,17 @@ class SegmentationModel:
     @staticmethod
     def _morph_primitives(ops: MorphSpec):
         """Decompose open/close into erode/dilate primitives (exact for
-        flat SEs; `iterations` on open/close means repeated open/close)."""
+        flat SEs). `iterations` on open/close follows cv2.morphologyEx:
+        erode x it then dilate x it (close: the reverse) — NOT repeated
+        open/close."""
         prims = []
         for op, k, it in ops:
             if op in ("erode", "dilate"):
                 prims.append((op, k, it))
             elif op == "open":
-                for _ in range(max(1, it)):
-                    prims += [("erode", k, 1), ("dilate", k, 1)]
+                prims += [("erode", k, max(1, it)), ("dilate", k, max(1, it))]
             elif op == "close":
-                for _ in range(max(1, it)):
-                    prims += [("dilate", k, 1), ("erode", k, 1)]
+                prims += [("dilate", k, max(1, it)), ("erode", k, max(1, it))]
             else:
                 raise ValueError(f"unknown morph op {op!r}")
         return prims
@@ -388,9 +401,7 @@ class SegmentationModel:
         mh, mw = self.input_hw
         margin = int(margin_ratio * mw)
         sh, sw = mh - 2 * margin, mw - 2 * margin
-        gb = max(1, self.runtime.grid_bucket)
-        ny = -(-max(1, -(-h // sh)) // gb) * gb
-        nx = -(-max(1, -(-w // sw)) // gb) * gb
+        ny, nx = self.grid_for(h, w, margin_ratio)
         img = _pad_white(img_u8, margin, ny * sh - h + margin,
                          margin, nx * sw - w + margin)
         compiled, flops = self._tiled_fn(
@@ -407,8 +418,8 @@ class SegmentationModel:
                            img_u8: np.ndarray, margin_ratio: float = 0.1,
                            morph: Optional[MorphSpec] = None,
                            mask_class: Optional[int] = None,
-                           post_morph: Optional[MorphSpec] = None
-                           ) -> Tuple[np.ndarray, np.ndarray]:
+                           post_morph: Optional[MorphSpec] = None,
+                           return_device_textline: bool = False):
         """Run BOTH segmentation passes of the pipeline's crop in ONE
         dispatch: `self` (the region model) sees the device-Otsu-binarized
         tiles (reference otsu_copy + patch predict, main.py:439-454), with
@@ -425,9 +436,7 @@ class SegmentationModel:
         mh, mw = self.input_hw
         margin = int(margin_ratio * mw)
         sh, sw = mh - 2 * margin, mw - 2 * margin
-        gb = max(1, self.runtime.grid_bucket)
-        ny = -(-max(1, -(-h // sh)) // gb) * gb
-        nx = -(-max(1, -(-w // sw)) // gb) * gb
+        ny, nx = self.grid_for(h, w, margin_ratio)
         img = _pad_white(img_u8, margin, ny * sh - h + margin,
                          margin, nx * sw - w + margin)
         # Both canvases are strictly binary when the region map is
@@ -436,13 +445,20 @@ class SegmentationModel:
         bits1 = mask_class is not None and other.spec.n_classes <= 2
         compiled, flops = self._dual_tiled_fn(
             other, ny, nx, margin, tuple(morph or ()), mask_class,
-            tuple(post_morph or ()), img, bits1)
+            tuple(post_morph or ()), img, bits1, return_device_textline)
         ohw = np.asarray([h, w], np.int32)
         with stagetime.device_section(flops):
-            packed = np.asarray(compiled(self.variables, other.variables,
-                                         jnp.asarray(img), ohw))
+            out = compiled(self.variables, other.variables,
+                           jnp.asarray(img), ohw)
+            if return_device_textline:
+                packed_dev, textline_dev = out
+            else:
+                packed_dev, textline_dev = out, None
+            packed = np.asarray(packed_dev)
         unpack = pack_ops.unpack1_host if bits1 else pack_ops.unpack2_host
         both = unpack(packed, (2 * ny * sh, nx * sw))
+        if return_device_textline:
+            return both[:h, :w], both[ny * sh:ny * sh + h, :w], textline_dev
         return both[:h, :w], both[ny * sh:ny * sh + h, :w]
 
     def grid_for(self, h: int, w: int, margin_ratio: float = 0.1
@@ -450,20 +466,25 @@ class SegmentationModel:
         """(ny, nx) tile grid this model's tiled paths use for an (h, w)
         image — the grouping key for multi-page fused dispatch (pages in
         one group must share a grid so results stay bit-identical to their
-        single-page dispatches)."""
+        single-page dispatches). Per-axis buckets: ny rounds to
+        runtime.grid_bucket, nx to runtime.grid_bucket_x (a page crop's
+        width varies less than its height across a scan batch, so the x
+        axis affords a tighter bucket — fewer all-white tiles)."""
         mh, mw = self.input_hw
         margin = int(margin_ratio * mw)
         sh, sw = mh - 2 * margin, mw - 2 * margin
         gb = max(1, self.runtime.grid_bucket)
+        gbx = max(1, getattr(self.runtime, "grid_bucket_x", gb))
         ny = -(-max(1, -(-h // sh)) // gb) * gb
-        nx = -(-max(1, -(-w // sw)) // gb) * gb
+        nx = -(-max(1, -(-w // sw)) // gbx) * gbx
         return ny, nx
 
     def predict_dual_tiled_multi(self, other: "SegmentationModel",
                                  imgs, margin_ratio: float = 0.1,
                                  morph: Optional[MorphSpec] = None,
                                  mask_class: Optional[int] = None,
-                                 post_morph: Optional[MorphSpec] = None):
+                                 post_morph: Optional[MorphSpec] = None,
+                                 return_device_textline: bool = False):
         """Multi-page fused segmentation: fold K pages' tiles into ONE
         device dispatch (pages x tiles as the forward batch dim, sharded
         over the mesh's data axis when present — the data-parallel-pages
@@ -481,7 +502,8 @@ class SegmentationModel:
         imgs = list(imgs)
         if len(imgs) == 1:
             return [self.predict_dual_tiled(other, imgs[0], margin_ratio,
-                                            morph, mask_class, post_morph)]
+                                            morph, mask_class, post_morph,
+                                            return_device_textline)]
         k = len(imgs)
         mh, mw = self.input_hw
         margin = int(margin_ratio * mw)
@@ -500,12 +522,18 @@ class SegmentationModel:
         bits1 = mask_class is not None and other.spec.n_classes <= 2
         compiled, flops = self._dual_tiled_multi_fn(
             other, k, ny, nx, margin, tuple(morph or ()), mask_class,
-            tuple(post_morph or ()), stacked, bits1)
+            tuple(post_morph or ()), stacked, bits1,
+            return_device_textline)
         ohw = np.asarray([[im.shape[0], im.shape[1]] for im in imgs],
                          np.int32)
         with stagetime.device_section(flops):
-            packed = np.asarray(compiled(self.variables, other.variables,
-                                         jnp.asarray(stacked), ohw))
+            res = compiled(self.variables, other.variables,
+                           jnp.asarray(stacked), ohw)
+            if return_device_textline:
+                packed_dev, textline_stack = res
+            else:
+                packed_dev, textline_stack = res, None
+            packed = np.asarray(packed_dev)
         big_h = ny * sh
         unpack = pack_ops.unpack1_host if bits1 else pack_ops.unpack2_host
         both = unpack(packed, (2 * k * big_h, nx * sw))
@@ -514,7 +542,10 @@ class SegmentationModel:
             h, w = im.shape[:2]
             region = both[i * big_h:i * big_h + h, :w]
             textline = both[(k + i) * big_h:(k + i) * big_h + h, :w]
-            out.append((region, textline))
+            if return_device_textline:
+                out.append((region, textline, textline_stack[i]))
+            else:
+                out.append((region, textline))
         return out
 
     # -- resident-image path ------------------------------------------------
@@ -533,6 +564,102 @@ class SegmentationModel:
         ch = margin + scaled_h + sh + margin
         cw = margin + scaled_w + sw + margin
         return (-(-ch // 128) * 128, -(-cw // 128) * 128)
+
+    def upload_raw(self, image: np.ndarray):
+        """Pad the ORIGINAL page to 128-multiples (white) and START its
+        host->device transfer. The working-resolution canvas is then
+        materialized ON DEVICE by predict_dual_tiled_resident_raw (exact
+        INTER_NEAREST index maps), so the host never resizes the ~10 MP
+        page (reference main.py:196-214 does it on the host) and the
+        upload carries the raw bytes — ~30%% smaller than the resized
+        working canvas."""
+        h, w = image.shape[:2]
+        ph = -(-h // 128) * 128
+        pw = -(-w // 128) * 128
+        if (ph, pw) != (h, w):
+            image = _pad_white(image, 0, ph - h, 0, pw - w)
+        return jax.device_put(image)
+
+    def predict_dual_tiled_resident_raw(self, other: "SegmentationModel",
+                                        raws, boxes, scaled_hws,
+                                        margin_ratio: float = 0.1,
+                                        morph: Optional[MorphSpec] = None,
+                                        mask_class: Optional[int] = None,
+                                        post_morph: Optional[MorphSpec] = None,
+                                        return_device_textline: bool = False,
+                                        raw_hws=None):
+        """predict_dual_tiled_resident reading from RESIDENT *raw* pages
+        (upload_raw): the program's first step gathers the margin-padded
+        working canvas out of each raw page through per-axis nearest index
+        maps computed host-side with the exact resize semantics of
+        stages.scale_image (main.py:196-214), then proceeds identically.
+        `scaled_hws`: per page (target_h, target_w) working dims — must
+        all be equal (they set the canvas shape); `boxes` as in the
+        resident path, in working coordinates; `raw_hws`: the ORIGINAL
+        page dims before upload_raw's 128-multiple padding (the resize
+        index maps must use these — defaults to the padded array dims,
+        correct only for pages already at 128 multiples)."""
+        if self.input_hw != other.input_hw:
+            raise ValueError("dual tiled predict needs identical geometry")
+        k = len(raws)
+        boxes = np.asarray(boxes, np.int32).reshape(k, 4)
+        mh, mw = self.input_hw
+        margin = int(margin_ratio * mw)
+        sh, sw = mh - 2 * margin, mw - 2 * margin
+        if len({tuple(s) for s in scaled_hws}) != 1:
+            raise ValueError("pages span multiple working sizes; group "
+                             "before fusing")
+        th, tw = scaled_hws[0]
+        grids = {self.grid_for(int(b[2]), int(b[3]), margin_ratio)
+                 for b in boxes}
+        if len(grids) != 1:
+            raise ValueError(
+                f"pages span multiple tile grids {sorted(grids)}; group "
+                "pages by grid_for() before fusing")
+        ny, nx = grids.pop()
+        shapes = {tuple(r.shape) for r in raws}
+        if len(shapes) != 1:
+            raise ValueError(f"raw shapes differ: {sorted(shapes)}")
+        ch, cw = self.canvas_shape_for(th, tw, margin_ratio)
+        if raw_hws is None:
+            raw_hws = [tuple(r.shape[:2]) for r in raws]
+        if len({tuple(s) for s in raw_hws}) != 1:
+            raise ValueError("pages span multiple raw sizes; group first")
+        raw_h, raw_w = raw_hws[0]
+        # canvas row i -> raw row (or -1 = white): margin offset baked in
+        iy = np.full(ch, -1, np.int32)
+        ix = np.full(cw, -1, np.int32)
+        iy[margin:margin + th] = resize_ops._nearest_indices(th, raw_h)
+        ix[margin:margin + tw] = resize_ops._nearest_indices(tw, raw_w)
+        iy_all = np.broadcast_to(iy, (k, ch)).copy()
+        ix_all = np.broadcast_to(ix, (k, cw)).copy()
+        stacked = jnp.stack(raws)
+        bits1 = mask_class is not None and other.spec.n_classes <= 2
+        compiled, flops = self._dual_tiled_resident_fn(
+            other, k, ny, nx, margin, (k, ch, cw, 3),
+            tuple(morph or ()), mask_class, tuple(post_morph or ()), bits1,
+            return_device_textline, raw_shape=tuple(stacked.shape))
+        with stagetime.device_section(flops):
+            res = compiled(self.variables, other.variables, stacked, boxes,
+                           jnp.asarray(iy_all), jnp.asarray(ix_all))
+            if return_device_textline:
+                packed_dev, textline_stack = res
+            else:
+                packed_dev, textline_stack = res, None
+            packed = np.asarray(packed_dev)
+        big_h = ny * sh
+        unpack = pack_ops.unpack1_host if bits1 else pack_ops.unpack2_host
+        both = unpack(packed, (2 * k * big_h, nx * sw))
+        out = []
+        for i, b in enumerate(boxes):
+            h, w = int(b[2]), int(b[3])
+            region = both[i * big_h:i * big_h + h, :w]
+            textline = both[(k + i) * big_h:(k + i) * big_h + h, :w]
+            if return_device_textline:
+                out.append((region, textline, textline_stack[i]))
+            else:
+                out.append((region, textline))
+        return out
 
     def upload_canvas(self, scaled_img: np.ndarray,
                       margin_ratio: float = 0.1):
@@ -554,7 +681,8 @@ class SegmentationModel:
                                     margin_ratio: float = 0.1,
                                     morph: Optional[MorphSpec] = None,
                                     mask_class: Optional[int] = None,
-                                    post_morph: Optional[MorphSpec] = None):
+                                    post_morph: Optional[MorphSpec] = None,
+                                    return_device_textline: bool = False):
         """Fused dual segmentation reading the page crops out of RESIDENT
         margin-padded canvases (upload_canvas) with runtime box offsets —
         no second full-page upload on the critical path. `canvases`: list
@@ -586,10 +714,15 @@ class SegmentationModel:
         bits1 = mask_class is not None and other.spec.n_classes <= 2
         compiled, flops = self._dual_tiled_resident_fn(
             other, k, ny, nx, margin, tuple(stacked.shape),
-            tuple(morph or ()), mask_class, tuple(post_morph or ()), bits1)
+            tuple(morph or ()), mask_class, tuple(post_morph or ()), bits1,
+            return_device_textline)
         with stagetime.device_section(flops):
-            packed = np.asarray(compiled(self.variables, other.variables,
-                                         stacked, boxes))
+            res = compiled(self.variables, other.variables, stacked, boxes)
+            if return_device_textline:
+                packed_dev, textline_stack = res
+            else:
+                packed_dev, textline_stack = res, None
+            packed = np.asarray(packed_dev)
         big_h = ny * sh
         unpack = pack_ops.unpack1_host if bits1 else pack_ops.unpack2_host
         both = unpack(packed, (2 * k * big_h, nx * sw))
@@ -598,16 +731,25 @@ class SegmentationModel:
             h, w = int(b[2]), int(b[3])
             region = both[i * big_h:i * big_h + h, :w]
             textline = both[(k + i) * big_h:(k + i) * big_h + h, :w]
-            out.append((region, textline))
+            if return_device_textline:
+                out.append((region, textline, textline_stack[i]))
+            else:
+                out.append((region, textline))
         return out
 
     def _dual_tiled_resident_fn(self, other: "SegmentationModel", k: int,
                                 ny: int, nx: int, margin: int,
                                 stacked_shape, morph: MorphSpec,
                                 mask_class: Optional[int],
-                                post_morph: MorphSpec, bits1: bool):
+                                post_morph: MorphSpec, bits1: bool,
+                                keep_dev: bool = False,
+                                raw_shape=None):
+        """`stacked_shape` is the (k, ch, cw, 3) canvas shape. With
+        `raw_shape` set, the program's inputs are raw pages of that shape
+        plus per-axis nearest index maps, and the canvas is gathered on
+        device (the raw-upload path)."""
         key = ("dual_res", id(other), k, ny, nx, margin, stacked_shape,
-               morph, mask_class, post_morph, bits1)
+               morph, mask_class, post_morph, bits1, keep_dev, raw_shape)
         entry = self._tiled_cache.get(key)
         if entry is not None:
             return entry
@@ -634,7 +776,9 @@ class SegmentationModel:
                     .transpose(0, 1, 3, 2, 4)
                     .reshape(k, ny * sh, nx * sw))
 
-        def fn(vars_r, vars_t, canvases_u8, boxes):
+        ch_, cw_ = stacked_shape[1], stacked_shape[2]
+
+        def _core(vars_r, vars_t, canvases_u8, boxes):
             from sbb_textline_detection_tpu.ops import threshold
             ph, pw = canvases_u8.shape[1:3]
             iy = jnp.arange(ph, dtype=jnp.int32)[:, None]
@@ -719,14 +863,42 @@ class SegmentationModel:
             canvas_r = jax.vmap(shape_page)(canvas_r, boxes)
             big_h, big_w = ny * sh, nx * sw
             pack = pack_ops.pack1_device if bits1 else pack_ops.pack2_device
-            return pack(jnp.concatenate(
+            packed = pack(jnp.concatenate(
                 [canvas_r.reshape(k * big_h, big_w),
                  canvas_t.reshape(k * big_h, big_w)], axis=0))
+            if keep_dev:
+                return packed, canvas_t
+            return packed
 
-        canv_ex = jax.ShapeDtypeStruct(stacked_shape, jnp.uint8)
         boxes_ex = jax.ShapeDtypeStruct((k, 4), jnp.int32)
-        entry = self._aot(jax.jit(fn), self.variables, other.variables,
-                          canv_ex, boxes_ex)
+        if raw_shape is None:
+            canv_ex = jax.ShapeDtypeStruct(stacked_shape, jnp.uint8)
+            entry = self._aot(jax.jit(_core), self.variables,
+                              other.variables, canv_ex, boxes_ex)
+        else:
+            raw_h, raw_w = raw_shape[1], raw_shape[2]
+
+            def fn_raw(vars_r, vars_t, raws_u8, boxes, iy_map, ix_map):
+                def build_canvas(raw, iyb, ixb):
+                    # device-side exact INTER_NEAREST: rows then cols;
+                    # -1 entries (margin/slack) gather clipped junk that
+                    # the mask immediately whitens
+                    rows = jnp.take(raw, jnp.clip(iyb, 0, raw_h - 1),
+                                    axis=0)
+                    cv = jnp.take(rows, jnp.clip(ixb, 0, raw_w - 1),
+                                  axis=1)
+                    ok = (iyb[:, None] >= 0) & (ixb[None, :] >= 0)
+                    return jnp.where(ok[..., None], cv, jnp.uint8(255))
+
+                canvases = jax.vmap(build_canvas)(raws_u8, iy_map, ix_map)
+                return _core(vars_r, vars_t, canvases, boxes)
+
+            raw_ex = jax.ShapeDtypeStruct(raw_shape, jnp.uint8)
+            iy_ex = jax.ShapeDtypeStruct((k, ch_), jnp.int32)
+            ix_ex = jax.ShapeDtypeStruct((k, cw_), jnp.int32)
+            entry = self._aot(jax.jit(fn_raw), self.variables,
+                              other.variables, raw_ex, boxes_ex, iy_ex,
+                              ix_ex)
         self._tiled_cache[key] = entry
         return entry
 
@@ -734,9 +906,9 @@ class SegmentationModel:
                              ny: int, nx: int, margin: int, morph: MorphSpec,
                              mask_class: Optional[int],
                              post_morph: MorphSpec, example_imgs: np.ndarray,
-                             bits1: bool = False):
+                             bits1: bool = False, keep_dev: bool = False):
         key = ("dual_multi", id(other), k, ny, nx, margin, morph, mask_class,
-               post_morph, bits1)
+               post_morph, bits1, keep_dev)
         entry = self._tiled_cache.get(key)
         if entry is not None:
             return entry
@@ -841,9 +1013,12 @@ class SegmentationModel:
             canvas_r = jax.vmap(shape_page)(canvas_r, ohw)
             big_h, big_w = ny * sh, nx * sw
             pack = pack_ops.pack1_device if bits1 else pack_ops.pack2_device
-            return pack(jnp.concatenate(
+            packed = pack(jnp.concatenate(
                 [canvas_r.reshape(k * big_h, big_w),
                  canvas_t.reshape(k * big_h, big_w)], axis=0))
+            if keep_dev:
+                return packed, canvas_t
+            return packed
 
         ohw_ex = np.zeros((k, 2), np.int32)
         entry = self._aot(jax.jit(fn), self.variables, other.variables,
@@ -854,9 +1029,10 @@ class SegmentationModel:
     def _dual_tiled_fn(self, other: "SegmentationModel", ny: int, nx: int,
                        margin: int, morph: MorphSpec,
                        mask_class: Optional[int], post_morph: MorphSpec,
-                       example_img: np.ndarray, bits1: bool = False):
+                       example_img: np.ndarray, bits1: bool = False,
+                       keep_dev: bool = False):
         key = ("dual", id(other), ny, nx, margin, morph, mask_class,
-               post_morph, bits1)
+               post_morph, bits1, keep_dev)
         entry = self._tiled_cache.get(key)
         if entry is not None:
             return entry
@@ -938,7 +1114,12 @@ class SegmentationModel:
                 canvas_r = (canvas_r == np.uint8(mask_class)).astype(jnp.uint8)
                 canvas_r = self._apply_morph(canvas_r, post_morph, inside_c)
             pack = pack_ops.pack1_device if bits1 else pack_ops.pack2_device
-            return pack(jnp.concatenate([canvas_r, canvas_t], axis=0))
+            packed = pack(jnp.concatenate([canvas_r, canvas_t], axis=0))
+            if keep_dev:
+                # second output stays in HBM (no transfer): the resident
+                # deskew program reads the textline canvas from here
+                return packed, canvas_t
+            return packed
 
         ohw_ex = np.zeros((2,), np.int32)
         entry = self._aot(jax.jit(fn), self.variables, other.variables,

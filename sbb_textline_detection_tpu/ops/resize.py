@@ -38,6 +38,14 @@ def resize_nearest_host(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return img[np.ix_(ys, xs)] if img.ndim == 2 else img[ys][:, xs]
 
 
+def compose_nearest_indices(dst: int, mid: int, src: int) -> np.ndarray:
+    """Index map of the two-stage resize `resize(resize(x, mid), dst)`
+    composed into one gather: row i of the final image is row
+    idx_mid_to_src[idx_dst_to_mid[i]] of the source. Exact — nearest
+    resizing is a pure gather, so composition is index composition."""
+    return _nearest_indices(mid, src)[_nearest_indices(dst, mid)]
+
+
 @functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
 def resize_nearest(img: jax.Array, out_h: int, out_w: int) -> jax.Array:
     ys = jnp.asarray(_nearest_indices(out_h, img.shape[0]))

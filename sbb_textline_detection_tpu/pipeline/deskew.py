@@ -107,21 +107,15 @@ def _hat(x):
     return jnp.maximum(0.0, 1.0 - jnp.abs(x))
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("r", "s", "chunk", "use_pallas"))
-def _radon_profiles_batched(canvases_packed: jax.Array, angles: jax.Array,
-                            region_idx: jax.Array, angle_idx: jax.Array,
-                            r: int, s: int, chunk: int,
-                            use_pallas: bool = False) -> jax.Array:
-    """1-bit-packed (R*S*S/8,) binary canvases + flattened (F,) (region,
-    angle) pairs -> (F, S) projections, computed in `chunk`-sized blocks
-    (F % chunk == 0)."""
-    from sbb_textline_detection_tpu.ops import pack as pack_ops
-
+def _radon_pairs(canvases: jax.Array, angles: jax.Array,
+                 region_idx: jax.Array, angle_idx: jax.Array,
+                 s: int, chunk: int, use_pallas: bool) -> jax.Array:
+    """(R, S, S) float32 canvases + flattened (F,) (region, angle) pairs ->
+    (F, S) rotated projections, computed in `chunk`-sized blocks
+    (F % chunk == 0). Shared by the packed-upload sweep and the
+    device-resident sweep."""
     c = float(s // 2)
     idx = jnp.arange(s, dtype=jnp.float32)
-    canvases = pack_ops.unpack1_device(
-        canvases_packed, (r, s, s)).astype(jnp.float32)
 
     def block(pair):
         ridx, aidx = pair
@@ -155,10 +149,34 @@ def _radon_profiles_batched(canvases_packed: jax.Array, angles: jax.Array,
     return P.reshape(f, s)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("r", "s", "chunk", "use_pallas"))
+def _radon_profiles_batched(canvases_packed: jax.Array, angles: jax.Array,
+                            region_idx: jax.Array, angle_idx: jax.Array,
+                            r: int, s: int, chunk: int,
+                            use_pallas: bool = False) -> jax.Array:
+    """1-bit-packed (R*S*S/8,) binary canvases + flattened (F,) (region,
+    angle) pairs -> (F, S) projections."""
+    from sbb_textline_detection_tpu.ops import pack as pack_ops
+
+    canvases = pack_ops.unpack1_device(
+        canvases_packed, (r, s, s)).astype(jnp.float32)
+    return _radon_pairs(canvases, angles, region_idx, angle_idx, s, chunk,
+                        use_pallas)
+
+
 @functools.partial(jax.jit, static_argnames=("sigma", "multiplier", "pos_min"))
 def _score_profiles(P: jax.Array, sigma: float = 2.0,
                     multiplier: float = 20.3, pos_min: float = 10.0
                     ) -> Tuple[jax.Array, jax.Array]:
+    """Jit wrapper over _score_profiles_impl (dispatch path of the
+    packed-upload sweep; the resident program calls the impl in-graph)."""
+    return _score_profiles_impl(P, sigma, multiplier, pos_min)
+
+
+def _score_profiles_impl(P: jax.Array, sigma: float = 2.0,
+                         multiplier: float = 20.3, pos_min: float = 10.0
+                         ) -> jax.Array:
     """Stacked (2, ...) float32: [valid (0/1), score] per profile."""
     s_len = P.shape[-1]
     z = profiles.gaussian_filter1d(P, sigma)
@@ -194,15 +212,126 @@ def _score_profiles(P: jax.Array, sigma: float = 2.0,
     return jnp.stack([(valid | any_oob).astype(jnp.float32), score])
 
 
+# ---------------------------------------------------------------------------
+# Device-resident deskew + line-profile machinery (round 3).
+#
+# The host path (below) crops/erodes/renders each region's sweep canvas on
+# the 1-core host, then after the sweep re-crops for the line separator's
+# morph + rotate + projection — measured ~1.2 s/page of host work. The
+# resident path runs the ENTIRE per-region chain in one device dispatch per
+# region group, reading the textline mask where the fused segmentation
+# program left it (HBM):
+#
+#   crop gather -> erode x2 -> sweep canvases -> coarse+vertical Radon
+#   sweeps -> slope decision -> morph OPEN+CLOSE -> rotated projection
+#   profiles -> one tiny f32 transfer (slopes + profiles).
+#
+# The line profile is computed as the EXACT rotated projection (the same
+# hat-kernel factorization the sweep uses, at the decided slope) of the
+# morphed mask instead of bicubic-warp + threshold + row-sum
+# (main.py:1485-1497 upstream) — see DEVIATIONS.md #10. At slope 0 the hat
+# matrices are exact identity/delta matrices, so unskewed regions produce
+# BIT-IDENTICAL profiles to the host path (tests/test_deskew_resident.py).
+# ---------------------------------------------------------------------------
+
+
+def _canvas_index_maps(h: int, w: int, s: int, pad_factor: float
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-axis source-index maps replicating _canvas_into exactly: entry i
+    of cy is the crop row rendered at canvas row i (-1 = blank), including
+    the 1.4x-pad downscale decision and the centered placement."""
+    target = int(max(h, w) * pad_factor)
+    if target > s:
+        scale = s / float(max(target, 1))
+        nh = max(1, int(h * scale))
+        nw = max(1, int(w * scale))
+        iy = np.clip((np.arange(nh, dtype=np.float64)
+                      * (h / float(nh))).astype(np.int64), 0, h - 1)
+        ix = np.clip((np.arange(nw, dtype=np.float64)
+                      * (w / float(nw))).astype(np.int64), 0, w - 1)
+    else:
+        nh, nw = h, w
+        iy = np.arange(h, dtype=np.int64)
+        ix = np.arange(w, dtype=np.int64)
+    cy = np.full(s, -1, np.int32)
+    cx = np.full(s, -1, np.int32)
+    y0 = s // 2 - nh // 2
+    x0 = s // 2 - nw // 2
+    cy[y0:y0 + nh] = iy
+    cx[x0:x0 + nw] = ix
+    return cy, cx
+
+
+def _min_sep_u8(x: jax.Array, k: int) -> jax.Array:
+    """Separable k x k min filter over the trailing two axes of (B, H, W)
+    uint8 (erode; border pads with the neutral 255)."""
+    pad = k // 2
+    x = jax.lax.reduce_window(x, np.uint8(255), jax.lax.min,
+                              (1, k, 1), (1, 1, 1),
+                              ((0, 0), (pad, pad), (0, 0)))
+    return jax.lax.reduce_window(x, np.uint8(255), jax.lax.min,
+                                 (1, 1, k), (1, 1, 1),
+                                 ((0, 0), (0, 0), (pad, pad)))
+
+
+def _max_sep_u8(x: jax.Array, k: int) -> jax.Array:
+    """Separable k x k max filter (dilate; border pads with the neutral 0)."""
+    pad = k // 2
+    x = jax.lax.reduce_window(x, np.uint8(0), jax.lax.max,
+                              (1, k, 1), (1, 1, 1),
+                              ((0, 0), (pad, pad), (0, 0)))
+    return jax.lax.reduce_window(x, np.uint8(0), jax.lax.max,
+                                 (1, 1, k), (1, 1, 1),
+                                 ((0, 0), (0, 0), (pad, pad)))
+
+
+def _hat_projection_rows(m: jax.Array, h, w, angle_deg, bufH: int,
+                         bufW: int) -> jax.Array:
+    """Row profile of `m` rotated by `angle_deg` about (w//2, h//2):
+    P[r] = total mass landing in dst row r (cv2 rotation convention,
+    dst_row = -sin*dx + cos*dy + cy). Exact row sums at angle 0 (the hat
+    matrices degenerate to identity/delta). m: (bufH, bufW) f32 with zero
+    mass outside the (h, w) crop; h, w, angle_deg are traced scalars."""
+    rad = jnp.deg2rad(angle_deg)
+    a = jnp.cos(rad)
+    b = jnp.sin(rad)
+    cy0 = (jnp.asarray(h) // 2).astype(jnp.float32)
+    cx0 = (jnp.asarray(w) // 2).astype(jnp.float32)
+    K = bufW // 2
+    sy = jnp.arange(bufH, dtype=jnp.float32)
+    sx = jnp.arange(bufW, dtype=jnp.float32)
+    fy = a * (sy - cy0) + cy0                     # dst-row bin per src row
+    A = _hat(sy[:, None] - fy[None, :])           # (s_bin, y)
+    gx = -b * (sx - cx0) + jnp.float32(K)         # shear bin per src col
+    B = _hat(sx[:, None] - gx[None, :])           # (u_bin, x)
+    U = jnp.einsum("sy,yx,ux->su", A, m, B,
+                   preferred_element_type=jnp.float32)
+    L = bufH + bufW
+    Wp = jnp.pad(U, ((0, 0), (0, L - bufW)))
+    flat = Wp.reshape(-1)[: bufH * (L - 1)].reshape(bufH, L - 1)
+    D = flat.sum(axis=0)                          # D[t] = sum_s U[s, t-s]
+    return D[K:K + bufH]
+
+
 class DeskewEngine:
     """Batched deskew sweeps: one device dispatch for all regions of a page."""
 
     def __init__(self, cfg: DeskewConfig = DeskewConfig(),
                  max_canvas: int = 2048, chunk: int = 8,
-                 use_pallas: bool | None = None, region_batch: int = 8):
+                 use_pallas: bool | None = None, region_batch: int = 8,
+                 morph_kernel: int = 5, crop_erode_iterations: int = 2,
+                 buf_max: int = 2816):
         self.cfg = cfg
         self.max_canvas = max_canvas
         self.chunk = chunk
+        # resident-path statics: crop-erode (main.py:1734) and the line
+        # separator's OPEN/CLOSE kernel (main.py:1478-1479); buf_max caps
+        # the static full-resolution crop buffer (larger regions fall back
+        # to the host path)
+        self._erode_k = morph_kernel
+        self._erode_it = crop_erode_iterations
+        self._morph_k = morph_kernel
+        self.buf_max = buf_max
         # Regions sweep in fixed-size groups: one compiled (B, S, S) program
         # per canvas bucket and bounded HBM (4·B·S² bytes for the float32
         # canvases) regardless of how many regions a page has — dense
@@ -242,9 +371,11 @@ class DeskewEngine:
 
     def _sweep_dispatch(self, canvases: np.ndarray, s: int,
                         angles: np.ndarray):
-        """Dispatch one group's sweep; returns the on-device stacked
-        [valid, score] array (fetch deferred so several groups' sweeps
-        queue on the device before the first result is pulled back)."""
+        """Dispatch one group's sweep; returns (vs_dev, flops): the
+        on-device stacked [valid, score] array (fetch deferred so several
+        groups' sweeps queue on the device before the first result is
+        pulled back) plus the program's FLOPs, which are accounted at
+        collect time — where the fetch actually blocks on execution."""
         r = canvases.shape[0]
         a = angles.shape[0]
         f = r * a
@@ -273,16 +404,18 @@ class DeskewEngine:
             P, sigma=float(self.cfg.sigma),
             multiplier=float(self.cfg.peak_threshold_multiplier),
             pos_min=float(self.cfg.pos_peak_min_value))
-        stagetime.add(__import__("time").time() - t0, radon_flops)
-        return vs_dev
+        stagetime.add(__import__("time").time() - t0, 0.0)
+        return vs_dev, radon_flops
 
-    def _sweep_collect(self, vs_dev, r: int, angles: np.ndarray
-                       ) -> List[float]:
+    def _sweep_collect(self, vs_dev, r: int, angles: np.ndarray,
+                       flops: float = 0.0) -> List[float]:
         """Fetch one group's [valid, score] result and pick per-region
-        best angles (upstream argmax semantics, see module docstring)."""
+        best angles (upstream argmax semantics, see module docstring).
+        The sweep program's FLOPs are accounted here: np.asarray blocks on
+        the actual execution, so this is where the device seconds accrue."""
         a = angles.shape[0]
         f = r * a
-        with stagetime.device_section(0.0):
+        with stagetime.device_section(flops):
             vs = np.asarray(vs_dev)
         valid = vs[0, :f].reshape(r, a) != 0.0
         score = vs[1, :f].reshape(r, a)
@@ -298,9 +431,8 @@ class DeskewEngine:
     def _sweep_batched(self, canvases: np.ndarray, s: int,
                        angles: np.ndarray) -> List[float]:
         """(R, S, S) canvases -> per-region best angle over `angles`."""
-        return self._sweep_collect(
-            self._sweep_dispatch(canvases, s, angles),
-            canvases.shape[0], angles)
+        vs_dev, flops = self._sweep_dispatch(canvases, s, angles)
+        return self._sweep_collect(vs_dev, canvases.shape[0], angles, flops)
 
     # -- public API ----------------------------------------------------------
     def best_angles(self, crops: Sequence[np.ndarray]) -> List[float]:
@@ -371,16 +503,214 @@ class DeskewEngine:
             buf = np.zeros((b, s, s), dtype=np.uint8)
             for i, crop in enumerate(group):
                 render(crop, buf[i])
-            pending.append((self._sweep_dispatch(buf, s, angles), b,
-                            len(group)))
+            vs_dev, flops = self._sweep_dispatch(buf, s, angles)
+            pending.append((vs_dev, flops, b, len(group)))
             start += b
         out: List[float] = []
-        for vs_dev, b, n_real in pending:
-            out.extend(self._sweep_collect(vs_dev, b, angles)[:n_real])
+        for vs_dev, flops, b, n_real in pending:
+            out.extend(self._sweep_collect(vs_dev, b, angles,
+                                           flops)[:n_real])
         return out
 
     def best_angle(self, crop: np.ndarray) -> float:
         return self.best_angles([crop])[0]
+
+    # -- device-resident path ------------------------------------------------
+    def _bucket_for_sizes(self, sizes) -> int:
+        target = 32
+        for h, w in sizes:
+            target = max(target, int(max(h, w) * self.cfg.pad_factor))
+        return next((b for b in _BUCKETS if b >= target and
+                     b <= self.max_canvas), self.max_canvas)
+
+    def _aot_resident(self, mask_shape, s: int, bufH: int, bufW: int):
+        """AOT-compile (once per shape) the one-dispatch resident program:
+        crops -> erode x2 -> canvases -> coarse+vertical radon -> scores ->
+        slope decision -> OPEN+CLOSE -> rotated-projection profiles."""
+        B = self.region_batch
+        cfg = self.cfg
+        ac_n = self._coarse.shape[0]
+        av_n = self._vertical.shape[0]
+        a_all = ac_n + av_n
+        f = B * a_all
+        chunk = min(self.chunk, f)
+        f_pad = ((f + chunk - 1) // chunk) * chunk
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            from sbb_textline_detection_tpu.ops import pallas_radon
+            use_pallas = (jax.default_backend() == "tpu"
+                          and pallas_radon.supported(s))
+        use_pallas = bool(use_pallas)
+        key = ("resident", tuple(mask_shape), s, B, bufH, bufW, ac_n, av_n,
+               chunk, use_pallas, float(cfg.sigma),
+               float(cfg.peak_threshold_multiplier),
+               float(cfg.pos_peak_min_value),
+               float(cfg.vertical_trigger_angle),
+               float(cfg.slope_reject_abs),
+               self._erode_k, self._erode_it, self._morph_k)
+        entry = _AOT_CACHE.get(key)
+        if entry is not None:
+            return entry
+
+        erode_eff = (self._erode_k - 1) * self._erode_it + 1
+        morph_k = self._morph_k
+        ridx = np.repeat(np.arange(B), a_all)
+        aidx = np.tile(np.arange(a_all), B)
+        ridx = np.concatenate([ridx, np.zeros(f_pad - f, np.int64)])
+        aidx = np.concatenate([aidx, np.zeros(f_pad - f, np.int64)])
+        H, W = mask_shape
+
+        def fn(mask, boxes, cy, cx, angles):
+            # boxes: (B, 4) int32 [y, x, h, w]
+            binm = (mask != 0).astype(jnp.uint8)
+            padded = jnp.pad(binm, ((0, bufH), (0, bufW)))
+            ar = jnp.arange(bufH, dtype=jnp.int32)
+            acol = jnp.arange(bufW, dtype=jnp.int32)
+
+            def crop_of(box):
+                # crop at origin; out-of-crop = 1 (erode neutral, matching
+                # the host path's +inf border, main.py:1734 semantics)
+                sl = jax.lax.dynamic_slice(padded, (box[0], box[1]),
+                                           (bufH, bufW))
+                inside = (ar[:, None] < box[2]) & (acol[None, :] < box[3])
+                return jnp.where(inside, sl, jnp.uint8(1))
+
+            crops = jax.vmap(crop_of)(boxes)
+            e2 = _min_sep_u8(crops, erode_eff)
+
+            def render(eb, cyb, cxb):
+                rows = jnp.take(eb, jnp.clip(cyb, 0, bufH - 1), axis=0)
+                cv = jnp.take(rows, jnp.clip(cxb, 0, bufW - 1), axis=1)
+                ok = (cyb[:, None] >= 0) & (cxb[None, :] >= 0)
+                return jnp.where(ok, cv, jnp.uint8(0))
+
+            canv = jax.vmap(render)(e2, cy, cx).astype(jnp.float32)
+            P = _radon_pairs(canv, angles,
+                             jnp.asarray(ridx, jnp.int32),
+                             jnp.asarray(aidx, jnp.int32),
+                             s, chunk, use_pallas)
+            vs = _score_profiles_impl(
+                P, sigma=float(cfg.sigma),
+                multiplier=float(cfg.peak_threshold_multiplier),
+                pos_min=float(cfg.pos_peak_min_value))
+            valid = vs[0][:f].reshape(B, a_all) != 0.0
+            score = vs[1][:f].reshape(B, a_all)
+
+            def pick(v, sc, ang):
+                masked = jnp.where(v, sc, -jnp.inf)
+                return jnp.where(v.any(), ang[jnp.argmax(masked)], 0.0)
+
+            slope_c = jax.vmap(
+                lambda v, sc: pick(v, sc, angles[:ac_n]))(
+                    valid[:, :ac_n], score[:, :ac_n])
+            slope_v = jax.vmap(
+                lambda v, sc: pick(v, sc, angles[ac_n:]))(
+                    valid[:, ac_n:], score[:, ac_n:])
+            trigger = jnp.abs(slope_c) > cfg.vertical_trigger_angle
+            raw = jnp.where(trigger, slope_v, slope_c)
+            final = jnp.where(jnp.abs(raw) > cfg.slope_reject_abs,
+                              0.0, raw).astype(jnp.float32)
+
+            def insided(x, fill):
+                def one(xb, box):
+                    inside = ((ar[:, None] < box[2])
+                              & (acol[None, :] < box[3]))
+                    return jnp.where(inside, xb, jnp.uint8(fill))
+                return jax.vmap(one)(x, boxes)
+
+            # OPEN then CLOSE (main.py:1478-1479) with the host path's
+            # neutral-border discipline per primitive
+            post = insided(e2, 1)
+            post = _min_sep_u8(post, morph_k)
+            post = insided(post, 0)
+            post = _max_sep_u8(post, morph_k)
+            post = insided(post, 0)
+            post = _max_sep_u8(post, morph_k)
+            post = insided(post, 1)
+            post = _min_sep_u8(post, morph_k)
+            post = insided(post, 0)
+
+            def prof_of(args):
+                m_u8, box, ang = args
+                m = m_u8.astype(jnp.float32)
+                h, w = box[2], box[3]
+                p1 = _hat_projection_rows(m, h, w, ang, bufH, bufW)
+                p0 = _hat_projection_rows(m.T, w, h, -ang, bufW, bufH)
+                return p1, p0
+
+            p1, p0 = jax.lax.map(prof_of, (post, boxes, final))
+            return jnp.concatenate([final[:, None], p1, p0], axis=1)
+
+        mask_ex = jax.ShapeDtypeStruct((H, W), jnp.uint8)
+        boxes_ex = jax.ShapeDtypeStruct((B, 4), jnp.int32)
+        cyx_ex = jax.ShapeDtypeStruct((B, s), jnp.int32)
+        ang_ex = jax.ShapeDtypeStruct((a_all,), jnp.float32)
+        compiled = jax.jit(fn).lower(mask_ex, boxes_ex, cyx_ex, cyx_ex,
+                                     ang_ex).compile()
+        entry = (compiled, stagetime.flops_of(compiled))
+        _AOT_CACHE[key] = entry
+        return entry
+
+    def resident_buffer_shape(self, mask_shape) -> Tuple[int, int]:
+        H, W = mask_shape
+        return (min(-(-H // 256) * 256, self.buf_max),
+                min(-(-W // 256) * 256, self.buf_max))
+
+    def slopes_and_profiles_resident(self, mask_dev, boxes_xywh):
+        """Full deskew + line-profile device phase from the RESIDENT
+        textline canvas (the fused segmentation program's on-device
+        output): returns (slopes, profiles) with slopes the FINAL
+        per-region values (vertical re-sweep + reject logic applied, as in
+        slopes_and_lines) and profiles[i] = (row_profile[:h], col_profile
+        [:w]) float32 — exact pixel-count projections of the morphed,
+        deskewed region mask (see module section comment / DEVIATIONS #10).
+
+        Raises ValueError when any region exceeds the static crop buffer
+        (the caller falls back to the host path)."""
+        boxes_xywh = [list(map(int, b)) for b in boxes_xywh]
+        n = len(boxes_xywh)
+        if n == 0:
+            return [], []
+        H, W = mask_dev.shape
+        bufH, bufW = self.resident_buffer_shape((H, W))
+        for x, y, w, h in boxes_xywh:
+            if h > bufH or w > bufW:
+                raise ValueError(
+                    f"region {h}x{w} exceeds the resident deskew buffer "
+                    f"{bufH}x{bufW}; host path required")
+        s = self._bucket_for_sizes([(b[3], b[2]) for b in boxes_xywh])
+        B = self.region_batch
+        angles = np.concatenate([self._coarse, self._vertical])
+
+        pending = []
+        for start in range(0, n, B):
+            group = boxes_xywh[start:start + B]
+            boxes_arr = np.zeros((B, 4), np.int32)
+            cy = np.full((B, s), -1, np.int32)
+            cx = np.full((B, s), -1, np.int32)
+            for i, (x, y, w, h) in enumerate(group):
+                boxes_arr[i] = (y, x, h, w)
+                cy[i], cx[i] = _canvas_index_maps(h, w, s,
+                                                  self.cfg.pad_factor)
+            compiled, flops = self._aot_resident((H, W), s, bufH, bufW)
+            t0 = __import__("time").time()
+            out_dev = compiled(mask_dev, jnp.asarray(boxes_arr),
+                               jnp.asarray(cy), jnp.asarray(cx),
+                               jnp.asarray(angles))
+            stagetime.add(__import__("time").time() - t0, 0.0)
+            pending.append((out_dev, flops, group))
+
+        slopes: List[float] = []
+        profiles = []
+        for out_dev, flops, group in pending:
+            with stagetime.device_section(flops):
+                out = np.asarray(out_dev)
+            for i, (x, y, w, h) in enumerate(group):
+                slopes.append(float(out[i, 0]))
+                p1 = out[i, 1:1 + h]
+                p0 = out[i, 1 + bufH:1 + bufH + w]
+                profiles.append((p1, p0))
+        return slopes, profiles
 
     # -- compatibility shims used by tests ------------------------------------
     def _canvas(self, crop: np.ndarray) -> Tuple[np.ndarray, int]:

@@ -69,6 +69,9 @@ class _DeviceState:
     timings: Dict[str, float]
     device_timings: Dict[str, float]
     flops: float
+    # On-device textline canvas (the fused program's HBM output) for the
+    # resident deskew path; None when a fallback path produced the masks.
+    textline_dev: Optional[object] = None
 
 
 class TextlineDetector:
@@ -79,13 +82,101 @@ class TextlineDetector:
         jaxenv.enable_compilation_cache()
         self.models = models
         self.config = config
-        self.deskew = DeskewEngine(config.deskew,
-                                   max_canvas=config.runtime.deskew_canvas,
-                                   region_batch=config.runtime.deskew_batch)
+        self.deskew = DeskewEngine(
+            config.deskew,
+            max_canvas=config.runtime.deskew_canvas,
+            region_batch=config.runtime.deskew_batch,
+            morph_kernel=config.morphology.kernel_size,
+            crop_erode_iterations=(
+                config.morphology.deskew_crop_erode_iterations),
+            buf_max=config.runtime.deskew_buf_max)
 
     # -- device-bound phase --------------------------------------------------
     def device_phase(self, image: np.ndarray,
                      image_filename: str = "") -> _DeviceState:
+        """Scale, border-crop, and run all three model passes. Prefers the
+        raw-upload path (original page up, working canvas materialized on
+        device); any failure there falls back to the standard path."""
+        cfg = self.config
+        if cfg.runtime.resident_upload and \
+                getattr(cfg.runtime, "raw_upload", False) and \
+                hasattr(self.models.region, "upload_raw") and \
+                hasattr(self.models.region,
+                        "predict_dual_tiled_resident_raw") and \
+                hasattr(self.models.page, "predict_small_prescaled"):
+            try:
+                return self._device_phase_raw(image, image_filename)
+            except Exception:
+                LOG.warning("raw-resident device phase failed for %s; "
+                            "using the standard path", image_filename,
+                            exc_info=True)
+        return self._device_phase_standard(image, image_filename)
+
+    def _device_phase_raw(self, image: np.ndarray,
+                          image_filename: str = "") -> _DeviceState:
+        """Raw-upload device phase: the ORIGINAL page goes up once
+        (upload_raw); the page model's input is gathered from it on host
+        via the exact composed nearest maps; the fused program resizes,
+        crops, and segments on device. The working image is never
+        materialized on host (LazyScaledImage does so only if a degrade
+        path touches it)."""
+        from sbb_textline_detection_tpu.utils import stagetime
+
+        cfg = self.config
+        t: Dict[str, float] = {}
+        dev: Dict[str, float] = {}
+        flops = 0.0
+        stagetime.reset()
+        t0 = time.time()
+        th, tw = stages.working_dims(image, cfg)
+        scaled = stages.LazyScaledImage(image, th, tw)
+        raw_dev = self.models.region.upload_raw(image)
+        mh, mw = self.models.page.input_hw
+        small = stages.page_model_input_from_raw(image, th, tw, mh, mw)
+        try:
+            small_labels = self.models.page.predict_small_prescaled(small)
+            box = stages._page_box_model_res(small_labels, th, tw, cfg)
+        except Exception:
+            # reference fallback: the whole image (main.py:406-426 shape
+            # quirk included)
+            box = [0, 0, tw - 1, th - 1]
+        page_coord = [box[1], box[1] + box[3], box[0], box[0] + box[2]]
+        cont_page = np.array([[page_coord[2], page_coord[0]],
+                              [page_coord[3], page_coord[0]],
+                              [page_coord[3], page_coord[1]],
+                              [page_coord[2], page_coord[1]]])
+        t["page_extraction"] = time.time() - t0
+        dev["page_extraction"], f = stagetime.snapshot()
+        flops += f
+
+        stagetime.reset()
+        t1 = time.time()
+        keep_dev = bool(cfg.runtime.resident_deskew)
+        pbox = [page_coord[0], page_coord[2], box[3], box[2]]
+        res = stages.extract_regions_and_textline_resident_raw(
+            [raw_dev], [pbox], [(th, tw)], self.models, cfg,
+            return_device_textline=keep_dev,
+            raw_hws=[image.shape[:2]])
+        if not res:
+            raise RuntimeError("bundle cannot run the raw-resident path")
+        masks = res[0]
+        if len(masks) == 3:
+            region_mask, textline_mask, textline_dev = masks
+        else:
+            region_mask, textline_mask = masks
+            textline_dev = None
+        t["region_extraction_model"] = time.time() - t1
+        dev["region_extraction"], f = stagetime.snapshot()
+        flops += f
+        t["textlines"] = 0.0
+        dev["textlines"] = 0.0
+        image_page = np.empty((box[3], box[2], 0), np.uint8)  # shape-only
+        return _DeviceState(image_filename, scaled, image_page, page_coord,
+                            cont_page, region_mask, textline_mask, t, dev,
+                            flops, textline_dev)
+
+    def _device_phase_standard(self, image: np.ndarray,
+                               image_filename: str = "") -> _DeviceState:
         """Scale, border-crop, and run all three model passes."""
         from sbb_textline_detection_tpu.utils import stagetime
 
@@ -116,6 +207,8 @@ class TextlineDetector:
 
         region_mask = None
         textline_mask = None
+        textline_dev = None
+        keep_dev = bool(cfg.runtime.resident_deskew)
         stagetime.reset()
         t1 = time.time()
         fused = None
@@ -124,11 +217,13 @@ class TextlineDetector:
                 box = [page_coord[0], page_coord[2],
                        image_page.shape[0], image_page.shape[1]]
                 res = stages.extract_regions_and_textline_resident(
-                    [canvas], [box], self.models, cfg)
+                    [canvas], [box], self.models, cfg,
+                    return_device_textline=keep_dev)
                 fused = res[0] if res else None
             if fused is None:
                 fused = stages.extract_regions_and_textline(
-                    image_page, self.models, cfg)
+                    image_page, self.models, cfg,
+                    return_device_textline=keep_dev)
         except Exception:
             LOG.warning("fused segmentation failed for %s; retrying the "
                         "separate per-model path", image_filename,
@@ -138,7 +233,10 @@ class TextlineDetector:
             # one dispatch covered both stages; attribute the cost to
             # region_extraction and the (tiny) remainder to textlines so
             # stage keys stay comparable across runs
-            region_mask, textline_mask = fused
+            if len(fused) == 3:
+                region_mask, textline_mask, textline_dev = fused
+            else:
+                region_mask, textline_mask = fused
             t["region_extraction_model"] = time.time() - t1
             dev["region_extraction"], f = stagetime.snapshot()
             flops += f
@@ -171,7 +269,7 @@ class TextlineDetector:
                 flops += f
         return _DeviceState(image_filename, scaled, image_page, page_coord,
                             cont_page, region_mask, textline_mask, t, dev,
-                            flops)
+                            flops, textline_dev)
 
     def device_phase_group(self, items) -> List[_DeviceState]:
         """Device phase for a group of pages with the segmentation passes of
@@ -233,6 +331,7 @@ class TextlineDetector:
             subgroups.setdefault(key, []).append(idx)
 
         states: List[Optional[_DeviceState]] = [None] * len(pre)
+        keep_dev = bool(cfg.runtime.resident_deskew)
         for idxs in subgroups.values():
             stagetime.reset()
             t1 = time.time()
@@ -245,10 +344,11 @@ class TextlineDetector:
                              for i in idxs]
                     fused = stages.extract_regions_and_textline_resident(
                         [canvases[i] for i in idxs], boxes, self.models,
-                        cfg)
+                        cfg, return_device_textline=keep_dev)
                 if fused is None:
                     fused = stages.extract_regions_and_textline_multi(
-                        [pre[i][2] for i in idxs], self.models, cfg)
+                        [pre[i][2] for i in idxs], self.models, cfg,
+                        return_device_textline=keep_dev)
             except Exception:
                 LOG.warning("multi-page fused segmentation failed for %s; "
                             "falling back to per-page device phases",
@@ -262,7 +362,12 @@ class TextlineDetector:
             d_share, f_group = stagetime.snapshot()
             d_share /= len(idxs)
             f_share = f_group / len(idxs)
-            for i, (region_mask, textline_mask) in zip(idxs, fused):
+            for i, masks in zip(idxs, fused):
+                if len(masks) == 3:
+                    region_mask, textline_mask, textline_dev = masks
+                else:
+                    region_mask, textline_mask = masks
+                    textline_dev = None
                 (name, scaled, image_page, page_coord, cont_page,
                  t_page, d_page, f_page) = pre[i]
                 t = {"page_extraction": t_page,
@@ -271,7 +376,8 @@ class TextlineDetector:
                        "region_extraction": d_share, "textlines": 0.0}
                 states[i] = _DeviceState(
                     name, scaled, image_page, page_coord, cont_page,
-                    region_mask, textline_mask, t, dev, f_page + f_share)
+                    region_mask, textline_mask, t, dev, f_page + f_share,
+                    textline_dev)
         return states
 
     # -- host-bound phase ------------------------------------------------------
@@ -313,7 +419,8 @@ class TextlineDetector:
                 stagetime.reset()
                 t3 = time.time()
                 slopes, textlines = stages.slopes_and_lines(
-                    contours, boxes, st.textline_mask, cfg, self.deskew)
+                    contours, boxes, st.textline_mask, cfg, self.deskew,
+                    textline_dev=st.textline_dev)
                 t["deskew"] = time.time() - t3
                 dev["deskew"], f = stagetime.snapshot()
                 flops += f
@@ -376,7 +483,7 @@ class TextlineDetector:
         import threading
 
         cfg = self.config
-        group = group_size or max(1, cfg.runtime.pages_per_dispatch)
+        group = group_size or self._effective_group_size()
         # the exact working/crop geometry a real page of this size hits
         scaled = stages.scale_image(
             np.full((height, width, 3), 255, np.uint8), cfg)
@@ -440,7 +547,33 @@ class TextlineDetector:
 
         def warm_deskew():
             s = min(512, self.deskew.max_canvas)
-            for b in (self.deskew.region_batch, 2):
+            if cfg.runtime.resident_deskew and hasattr(
+                    self.models.region, "grid_for"):
+                # primary path: the resident program for this page
+                # geometry's fused-canvas shape, at the canvas bucket a
+                # full-size region lands on; host-path programs stay warm
+                # for the fallback at the production group size only
+                import jax.numpy as jnp
+                region = self.models.region
+                mh, mw = region.input_hw
+                margin = int(cfg.tiling.margin_ratio * mw)
+                ny, nx = region.grid_for(page_img.shape[0],
+                                         page_img.shape[1],
+                                         cfg.tiling.margin_ratio)
+                mask = jnp.zeros((ny * (mh - 2 * margin),
+                                  nx * (mw - 2 * margin)), jnp.uint8)
+                side = max(8, int(s / self.deskew.cfg.pad_factor))
+                side = min(side, mask.shape[0], mask.shape[1])
+                self.deskew.slopes_and_profiles_resident(
+                    mask, [[0, 0, side, side]])
+                self.deskew._sweep_batched(
+                    np.zeros((self.deskew.region_batch, s, s), np.uint8),
+                    s, self.deskew._coarse)
+                return
+            # every power-of-two group bucket a real page can dispatch
+            # (_batch_buckets) — a shape missed here pays its 5-30 s
+            # program load on the first page that hits it
+            for b in self.deskew._batch_buckets():
                 self.deskew._sweep_batched(
                     np.zeros((b, s, s), np.uint8), s, self.deskew._coarse)
 
@@ -453,6 +586,23 @@ class TextlineDetector:
         for t in threads:
             t.join()
         return timings
+
+    def _effective_group_size(self) -> int:
+        """pages_per_dispatch, auto-raised to the mesh data-axis size when
+        the models carry a multi-chip Mesh (runtime.mesh_auto_group): the
+        grouped fused dispatch then spreads pages x tiles over the data
+        axis instead of running each page's grid on every chip."""
+        rt = self.config.runtime
+        group = max(1, rt.pages_per_dispatch)
+        mesh = getattr(self.models.region, "mesh", None)
+        if rt.mesh_auto_group and mesh is not None:
+            try:
+                data = int(mesh.shape["data"])
+            except (KeyError, TypeError):
+                data = 1
+            if data > 1:
+                group = max(group, data)
+        return group
 
     # -- public API --------------------------------------------------------
     def process_image(self, image: np.ndarray,
@@ -468,7 +618,7 @@ class TextlineDetector:
         interleaves both. Pages are grouped runtime.pages_per_dispatch at a
         time so the segmentation passes of the whole group run as one
         fused device dispatch (device_phase_group)."""
-        group_size = max(1, self.config.runtime.pages_per_dispatch)
+        group_size = self._effective_group_size()
 
         def grouped():
             buf = []

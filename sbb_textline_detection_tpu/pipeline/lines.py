@@ -193,10 +193,25 @@ def separate_lines(img_patch: np.ndarray, contour: np.ndarray, theta: float,
     (pre-rotation) patch frame. May raise — the caller maps exceptions to
     "no lines" (reference main.py:1520-1522).
     """
+    axis = 0 if vertical else 1
+    y = img_patch.sum(axis=axis).astype(np.float64)
+    h, w = img_patch.shape[:2]
+    return separate_lines_from_profile(y, h, w, contour, theta, cfg,
+                                       vertical)
+
+
+def separate_lines_from_profile(y: np.ndarray, h: int, w: int,
+                                contour: np.ndarray, theta: float,
+                                cfg: LineSplitConfig = LineSplitConfig(),
+                                vertical: bool = False):
+    """separate_lines when the deskewed patch's projection profile `y`
+    (length h, or w when vertical — exactly img_patch.sum(axis)) was
+    already computed, e.g. on device by the resident deskew program. All
+    peak/box logic is identical; the patch itself is only ever consumed
+    through its shape and this profile."""
     if vertical:
         theta = theta + 90.0  # main.py:996
 
-    h, w = img_patch.shape[:2]
     M = rotation_matrix_host(-theta, w, h)
     x_d = M[0, 2]
     y_d = M[1, 2]
@@ -208,8 +223,7 @@ def separate_lines(img_patch: np.ndarray, contour: np.ndarray, theta: float,
     y_min_cont, y_max_cont = 0.0, float(h)
     xv = np.linspace(x_min_cont, x_max_cont, cfg.n_x_samples)
 
-    axis = 0 if vertical else 1
-    y = img_patch.sum(axis=axis).astype(np.float64)
+    y = np.asarray(y, dtype=np.float64)
     n = len(y)
     y_padded = np.zeros(n + 2 * cfg.profile_pad)
     y_padded[cfg.profile_pad:n + cfg.profile_pad] = y

@@ -36,18 +36,58 @@ class ScaledImage:
     scale_y: float
 
 
-def scale_image(image: np.ndarray, cfg: PipelineConfig) -> ScaledImage:
-    """Global resize policy (main.py:196-214): pages under 2500 px high are
-    scaled to 2800 px high; taller pages are scaled by 1.2."""
+def working_dims(image: np.ndarray, cfg: PipelineConfig) -> Tuple[int, int]:
+    """(target_h, target_w) of the global resize policy (main.py:196-214):
+    pages under 2500 px high scale to 2800 px high; taller pages by 1.2."""
     h, w = image.shape[:2]
     rp = cfg.resize
     if h < rp.small_page_height_threshold:
         target_h = rp.small_page_target_height
     else:
         target_h = int(h * rp.large_page_scale)
-    target_w = int(target_h * w / float(h))
+    return target_h, int(target_h * w / float(h))
+
+
+def scale_image(image: np.ndarray, cfg: PipelineConfig) -> ScaledImage:
+    """Global resize policy (main.py:196-214) applied on host."""
+    h, w = image.shape[:2]
+    target_h, target_w = working_dims(image, cfg)
     scaled = resize_ops.resize_nearest_host(image, target_h, target_w)
     return ScaledImage(scaled, h, w, target_w / float(w), target_h / float(h))
+
+
+class LazyScaledImage:
+    """ScaledImage whose working-resolution pixels are materialized only if
+    a host path actually touches them — the raw-upload device phase
+    resizes on device (runner.predict_dual_tiled_resident_raw), so in the
+    common case the ~10 MP host resize never happens."""
+
+    def __init__(self, raw: np.ndarray, target_h: int, target_w: int):
+        self._raw = raw
+        self._target = (target_h, target_w)
+        self._img: Optional[np.ndarray] = None
+        self.height_org = raw.shape[0]
+        self.width_org = raw.shape[1]
+        self.scale_x = target_w / float(raw.shape[1])
+        self.scale_y = target_h / float(raw.shape[0])
+
+    @property
+    def image(self) -> np.ndarray:
+        if self._img is None:
+            self._img = resize_ops.resize_nearest_host(
+                self._raw, self._target[0], self._target[1])
+        return self._img
+
+
+def page_model_input_from_raw(image: np.ndarray, target_h: int,
+                              target_w: int, mh: int, mw: int) -> np.ndarray:
+    """The page model's (mh, mw) input gathered straight from the ORIGINAL
+    page via the composed two-stage nearest index maps — bit-identical to
+    resize(resize(raw, working), model) (main.py:196-214 then 368-373)
+    without ever materializing the working image on host."""
+    ys = resize_ops.compose_nearest_indices(mh, target_h, image.shape[0])
+    xs = resize_ops.compose_nearest_indices(mw, target_w, image.shape[1])
+    return image[ys][:, xs]
 
 
 def _page_box_full_res(labels: np.ndarray, cfg: PipelineConfig) -> List[int]:
@@ -206,67 +246,118 @@ def _accepts_kwarg(fn, name: str) -> bool:
 
 
 def extract_regions_and_textline(image_page: np.ndarray, models: ModelBundle,
-                                 cfg: PipelineConfig):
+                                 cfg: PipelineConfig,
+                                 return_device_textline: bool = False):
     """Fused region+textline segmentation: one pad, one upload, one device
     dispatch, one packed transfer for both model passes (predict_dual_tiled).
-    Returns (region_mask, textline_labels), or None when the bundle can't
-    fuse (duck-typed models, mismatched geometry) — the caller then runs
-    extract_text_regions / textline_mask_total separately."""
+    Returns (region_mask, textline_labels) — plus the on-device textline
+    canvas when return_device_textline (consumed by the resident deskew
+    path) — or None when the bundle can't fuse (duck-typed models,
+    mismatched geometry); the caller then runs extract_text_regions /
+    textline_mask_total separately."""
     region, textline = models.region, models.textline
     if not (hasattr(region, "predict_dual_tiled")
             and hasattr(textline, "input_hw")
             and getattr(region, "input_hw", None) == textline.input_hw):
         return None
     k = cfg.morphology.kernel_size
+    kwargs = {}
+    if return_device_textline and \
+            _accepts_kwarg(region.predict_dual_tiled,
+                           "return_device_textline"):
+        kwargs["return_device_textline"] = True
     return region.predict_dual_tiled(
         textline, image_page.astype(np.uint8), cfg.tiling.margin_ratio,
         morph=(("erode", k, cfg.morphology.region_erode_iterations),
                ("dilate", k, cfg.morphology.region_dilate_iterations)),
         mask_class=cfg.region.text_class_value,
-        post_morph=(("open", k, 1), ("close", k, 1)))
+        post_morph=(("open", k, 1), ("close", k, 1)), **kwargs)
 
 
 def extract_regions_and_textline_multi(image_pages, models: ModelBundle,
-                                       cfg: PipelineConfig):
+                                       cfg: PipelineConfig,
+                                       return_device_textline: bool = False):
     """Multi-page fused segmentation: K pages' tiles fold into one device
     dispatch (runner.predict_dual_tiled_multi). Returns a list of
-    (region_mask, textline_labels) in input order, or None when the bundle
-    can't fuse — the caller then falls back to per-page paths."""
+    (region_mask, textline_labels[, textline_dev]) in input order, or None
+    when the bundle can't fuse — the caller then falls back to per-page
+    paths."""
     region, textline = models.region, models.textline
     if not (hasattr(region, "predict_dual_tiled_multi")
             and hasattr(textline, "input_hw")
             and getattr(region, "input_hw", None) == textline.input_hw):
         return None
     k = cfg.morphology.kernel_size
+    kwargs = {}
+    if return_device_textline and \
+            _accepts_kwarg(region.predict_dual_tiled_multi,
+                           "return_device_textline"):
+        kwargs["return_device_textline"] = True
     return region.predict_dual_tiled_multi(
         textline, [np.asarray(p, np.uint8) for p in image_pages],
         cfg.tiling.margin_ratio,
         morph=(("erode", k, cfg.morphology.region_erode_iterations),
                ("dilate", k, cfg.morphology.region_dilate_iterations)),
         mask_class=cfg.region.text_class_value,
-        post_morph=(("open", k, 1), ("close", k, 1)))
+        post_morph=(("open", k, 1), ("close", k, 1)), **kwargs)
 
 
 def extract_regions_and_textline_resident(canvases, boxes,
                                           models: ModelBundle,
-                                          cfg: PipelineConfig):
+                                          cfg: PipelineConfig,
+                                          return_device_textline: bool = False):
     """Fused segmentation reading crops from RESIDENT device canvases
     (runner.upload_canvas) with runtime page-box offsets: the full-page
     upload overlapped the border stage instead of serializing before the
-    dispatch. Returns [(region_mask, textline_labels), ...] or None when
-    the bundle can't fuse."""
+    dispatch. Returns [(region_mask, textline_labels[, textline_dev]), ...]
+    or None when the bundle can't fuse."""
     region, textline = models.region, models.textline
     if not (hasattr(region, "predict_dual_tiled_resident")
             and hasattr(textline, "input_hw")
             and getattr(region, "input_hw", None) == textline.input_hw):
         return None
     k = cfg.morphology.kernel_size
+    kwargs = {}
+    if return_device_textline and \
+            _accepts_kwarg(region.predict_dual_tiled_resident,
+                           "return_device_textline"):
+        kwargs["return_device_textline"] = True
     return region.predict_dual_tiled_resident(
         textline, canvases, boxes, cfg.tiling.margin_ratio,
         morph=(("erode", k, cfg.morphology.region_erode_iterations),
                ("dilate", k, cfg.morphology.region_dilate_iterations)),
         mask_class=cfg.region.text_class_value,
-        post_morph=(("open", k, 1), ("close", k, 1)))
+        post_morph=(("open", k, 1), ("close", k, 1)), **kwargs)
+
+
+def extract_regions_and_textline_resident_raw(raws, boxes, scaled_hws,
+                                              models: ModelBundle,
+                                              cfg: PipelineConfig,
+                                              return_device_textline:
+                                              bool = False,
+                                              raw_hws=None):
+    """Fused segmentation reading from RESIDENT raw pages (upload_raw) —
+    the working canvas is gathered on device through exact nearest index
+    maps. Returns [(region_mask, textline_labels[, textline_dev]), ...] or
+    None when the bundle can't do it."""
+    region, textline = models.region, models.textline
+    if not (hasattr(region, "predict_dual_tiled_resident_raw")
+            and hasattr(textline, "input_hw")
+            and getattr(region, "input_hw", None) == textline.input_hw):
+        return None
+    k = cfg.morphology.kernel_size
+    kwargs = {}
+    if return_device_textline and \
+            _accepts_kwarg(region.predict_dual_tiled_resident_raw,
+                           "return_device_textline"):
+        kwargs["return_device_textline"] = True
+    return region.predict_dual_tiled_resident_raw(
+        textline, raws, boxes, scaled_hws, cfg.tiling.margin_ratio,
+        morph=(("erode", k, cfg.morphology.region_erode_iterations),
+               ("dilate", k, cfg.morphology.region_dilate_iterations)),
+        mask_class=cfg.region.text_class_value,
+        post_morph=(("open", k, 1), ("close", k, 1)), raw_hws=raw_hws,
+        **kwargs)
 
 
 def region_contours_and_boxes(region_mask: np.ndarray, cfg: PipelineConfig
@@ -319,11 +410,7 @@ def textline_postprocess(crop_labels: np.ndarray, slope: float,
         # 1px the warp+binarize+trace round trip wobbles) and skips a
         # full-crop bicubic warp + scanline fill + boundary trace per
         # region (DEVIATIONS.md).
-        shifted = np.asarray(contour, dtype=np.float64).copy()
-        shifted[:, 0] -= box[0]
-        shifted[:, 1] -= box[1]
-        M = rotate_ops.rotation_matrix_host(slope, box[2], box[3])
-        big = shifted @ M[:, :2].T + M[:, 2]
+        big = _contour_in_rotated_frame(contour, slope, box)
 
         vertical = abs(slope) > cfg.deskew.vertical_line_split_abs
         _, boxes_rot = lines_mod.separate_lines(
@@ -333,17 +420,68 @@ def textline_postprocess(crop_labels: np.ndarray, slope: float,
         return []
 
 
+def _contour_in_rotated_frame(contour: np.ndarray, slope: float,
+                              box: List[int]) -> np.ndarray:
+    """Region contour points mapped into the deskewed crop frame
+    (analytic equivalent of the reference's rasterize-warp-retrace,
+    main.py:1498-1511; DEVIATIONS #5)."""
+    shifted = np.asarray(contour, dtype=np.float64).copy()
+    shifted[:, 0] -= box[0]
+    shifted[:, 1] -= box[1]
+    M = rotate_ops.rotation_matrix_host(slope, box[2], box[3])
+    return shifted @ M[:, :2].T + M[:, 2]
+
+
+def textline_postprocess_profile(profile_pair, slope: float,
+                                 contour: np.ndarray, box: List[int],
+                                 cfg: PipelineConfig) -> List[np.ndarray]:
+    """textline_postprocess when the deskewed region's projection profiles
+    were already computed on device (DeskewEngine.slopes_and_profiles_
+    resident): only the contour rotation and the branch-heavy peak logic
+    run on host. Any failure -> no lines (main.py:1520-1522)."""
+    try:
+        big = _contour_in_rotated_frame(contour, slope, box)
+        vertical = abs(slope) > cfg.deskew.vertical_line_split_abs
+        prof = profile_pair[1] if vertical else profile_pair[0]
+        _, boxes_rot = lines_mod.separate_lines_from_profile(
+            prof, box[3], box[2], big, slope, cfg.line_split,
+            vertical=vertical)
+        return boxes_rot
+    except Exception:
+        return []
+
+
 def slopes_and_lines(contours: List[np.ndarray], boxes: List[List[int]],
                      textline_mask: np.ndarray, models_cfg: PipelineConfig,
-                     engine: Optional[DeskewEngine] = None
+                     engine: Optional[DeskewEngine] = None,
+                     textline_dev=None
                      ) -> Tuple[List[float], List[List[np.ndarray]]]:
     """Reference get_slopes_and_deskew + do_work_of_slopes
     (main.py:1721-1799), without the multiprocessing fan-out: the angle
     sweep runs on device (DeskewEngine), so host processes have nothing to
     parallelize. Region order is preserved (the reference's reassembly order
-    is nondeterministic; input order is one valid instance)."""
+    is nondeterministic; input order is one valid instance).
+
+    With `textline_dev` (the fused segmentation program's on-device
+    textline canvas) and a resident-capable engine, the ENTIRE per-region
+    device chain — crop, erode, sweep, morph, deskewed projection — runs
+    as one dispatch per region group and the host only does contours and
+    peak logic; any resident failure falls back to this host path."""
     cfg = models_cfg
     engine = engine or DeskewEngine(cfg.deskew)
+    if textline_dev is not None and \
+            hasattr(engine, "slopes_and_profiles_resident"):
+        try:
+            slopes, profiles = engine.slopes_and_profiles_resident(
+                textline_dev, boxes)
+            return slopes, [
+                textline_postprocess_profile(p, s, contour, box, cfg)
+                for p, s, contour, box in zip(profiles, slopes, contours,
+                                              boxes)]
+        except Exception:
+            logger.warning(
+                "resident deskew failed for %d regions; falling back to "
+                "the host path", len(boxes), exc_info=True)
     crops: List[np.ndarray] = []
     for box in boxes:
         x, y, w, h = box

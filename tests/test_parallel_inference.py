@@ -87,3 +87,68 @@ def test_multi_page_fused_sharded_matches_unsharded(mesh8):
     for i in range(2):
         np.testing.assert_array_equal(got[i][0], want[i][0])
         np.testing.assert_array_equal(got[i][1], want[i][1])
+
+
+def test_mesh_auto_group_size(mesh8):
+    """runtime.mesh_auto_group: process_batch's group size auto-raises to
+    the mesh data-axis size under a multi-chip mesh, stays at the
+    configured pages_per_dispatch (1, per the single-chip A/B) without."""
+    import dataclasses
+
+    from sbb_textline_detection_tpu.core.config import (DEFAULT_CONFIG,
+                                                        RuntimeConfig)
+    from sbb_textline_detection_tpu.pipeline.detector import TextlineDetector
+
+    rt = RuntimeConfig(batch_buckets=(2,), deskew_canvas=256)
+    bundle_mesh = runner.ModelBundle.random_init(
+        rt, specs={"page": TINY, "region": TINY, "textline": TINY},
+        mesh=mesh8)
+    bundle_single = runner.ModelBundle.random_init(
+        rt, specs={"page": TINY, "region": TINY, "textline": TINY})
+    cfg = dataclasses.replace(DEFAULT_CONFIG, runtime=rt)
+    assert TextlineDetector(bundle_mesh, cfg)._effective_group_size() == 8
+    assert TextlineDetector(bundle_single, cfg)._effective_group_size() == 1
+    # explicit opt-out wins
+    cfg_off = dataclasses.replace(
+        cfg, runtime=dataclasses.replace(rt, mesh_auto_group=False))
+    assert TextlineDetector(bundle_mesh, cfg_off)._effective_group_size() == 1
+
+
+def test_mesh_auto_group_batch_uses_grouped_path(mesh8):
+    """Under the mesh, process_batch must hand device_phase_group whole
+    groups of data-axis size (the grouped fused program), not 1-page
+    groups."""
+    import dataclasses
+
+    from sbb_textline_detection_tpu.core.config import (DEFAULT_CONFIG,
+                                                        RuntimeConfig)
+    from sbb_textline_detection_tpu.pipeline.detector import TextlineDetector
+
+    rt = RuntimeConfig(batch_buckets=(2,), deskew_canvas=256)
+    bundle = runner.ModelBundle.random_init(
+        rt, specs={"page": TINY, "region": TINY, "textline": TINY},
+        mesh=mesh8)
+    cfg = dataclasses.replace(DEFAULT_CONFIG, runtime=rt)
+    det = TextlineDetector(bundle, cfg)
+    seen = []
+
+    def spy(items):
+        # bypass the heavy k=8 fused compile: the assertion under test is
+        # the GROUPING, handled entirely by process_batch before this call
+        from sbb_textline_detection_tpu.pipeline import stages
+        from sbb_textline_detection_tpu.pipeline.detector import _DeviceState
+        items = list(items)
+        seen.append(len(items))
+        return [_DeviceState(name, stages.ScaledImage(img, img.shape[0],
+                                                      img.shape[1], 1.0, 1.0),
+                             img, [0, img.shape[0], 0, img.shape[1]],
+                             np.zeros((4, 2)), None, None, {}, {}, 0.0)
+                for img, name in items]
+
+    det.device_phase_group = spy
+    rng = np.random.default_rng(3)
+    pages = [(rng.integers(0, 255, (60, 50, 3)).astype(np.uint8), f"p{i}")
+             for i in range(9)]
+    results = list(det.process_batch(iter(pages)))
+    assert len(results) == 9
+    assert seen == [8, 1]

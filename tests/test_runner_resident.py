@@ -34,9 +34,10 @@ def _scaled_page(rng, h, w):
 
 @pytest.mark.parametrize("boxes_hw", [
     # (scaled_h, scaled_w, by, bx, crop_h, crop_w) per page — crops at the
-    # origin, interior, and flush with the page edges
-    [(150, 120, 0, 0, 150, 120), (150, 120, 10, 7, 130, 100)],
-    [(140, 110, 25, 15, 115, 95), (140, 110, 0, 3, 120, 107)],
+    # origin, interior, and flush with the page edges (crop widths chosen
+    # to share an x-grid under the per-axis grid_bucket_x=2 default)
+    [(150, 120, 0, 0, 150, 120), (150, 120, 10, 7, 130, 110)],
+    [(140, 110, 25, 3, 115, 107), (140, 110, 0, 3, 120, 107)],
 ])
 def test_resident_matches_classic(duo, boxes_hw):
     m_r, m_t = duo
@@ -73,3 +74,100 @@ def test_resident_single_page(duo):
         morph=MORPH, mask_class=1, post_morph=POST)[0]
     np.testing.assert_array_equal(got[0], want[0])
     np.testing.assert_array_equal(got[1], want[1])
+
+
+def test_raw_resident_matches_canvas_resident(duo):
+    """Raw-upload path (device-side nearest resize from the ORIGINAL page)
+    must be bit-identical to uploading the host-resized working canvas:
+    the per-axis index maps are the same gather resize_nearest_host
+    performs."""
+    from sbb_textline_detection_tpu.ops import resize as resize_ops
+
+    m_r, m_t = duo
+    rng = np.random.default_rng(11)
+    raw = _scaled_page(rng, 200, 170)          # "original" page
+    th, tw = 160, 136                          # working dims
+    scaled = resize_ops.resize_nearest_host(raw, th, tw)
+    box = [10, 6, 140, 120]                    # [by, bx, crop_h, crop_w]
+
+    want = m_r.predict_dual_tiled_resident(
+        m_t, [m_r.upload_canvas(scaled)], [box],
+        morph=MORPH, mask_class=1, post_morph=POST)[0]
+    got = m_r.predict_dual_tiled_resident_raw(
+        m_t, [m_r.upload_raw(raw)], [box], [(th, tw)],
+        morph=MORPH, mask_class=1, post_morph=POST,
+        raw_hws=[raw.shape[:2]])[0]
+    np.testing.assert_array_equal(got[0], want[0])
+    np.testing.assert_array_equal(got[1], want[1])
+
+
+def test_raw_resident_device_textline_matches_host_mask(duo):
+    m_r, m_t = duo
+    rng = np.random.default_rng(13)
+    raw = _scaled_page(rng, 180, 150)
+    th, tw = 144, 120
+    box = [0, 0, 144, 120]
+    out = m_r.predict_dual_tiled_resident_raw(
+        m_t, [m_r.upload_raw(raw)], [box], [(th, tw)],
+        morph=MORPH, mask_class=1, post_morph=POST,
+        return_device_textline=True, raw_hws=[raw.shape[:2]])[0]
+    region, textline, textline_dev = out
+    np.testing.assert_array_equal(
+        np.asarray(textline_dev)[:144, :120], textline)
+
+
+def test_page_model_input_from_raw_matches_double_resize():
+    from sbb_textline_detection_tpu.ops import resize as resize_ops
+    from sbb_textline_detection_tpu.pipeline import stages
+
+    rng = np.random.default_rng(3)
+    raw = rng.integers(0, 255, (311, 237, 3)).astype(np.uint8)
+    th, tw = 280, 213
+    want = resize_ops.resize_nearest_host(
+        resize_ops.resize_nearest_host(raw, th, tw), 64, 64)
+    got = stages.page_model_input_from_raw(raw, th, tw, 64, 64)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_detector_raw_phase_matches_standard(duo):
+    """TextlineDetector.device_phase raw-upload branch must yield the same
+    masks, page box, and XML as the standard resident path."""
+    import dataclasses
+    import xml.etree.ElementTree as ET
+
+    from sbb_textline_detection_tpu.core.config import (
+        DEFAULT_CONFIG, DeskewConfig, ResizePolicy)
+    from sbb_textline_detection_tpu.models.runner import ModelBundle
+    from sbb_textline_detection_tpu.pipeline.detector import TextlineDetector
+
+    m_r, m_t = duo
+    variables = registry.init_variables(TINY, seed=0)
+    page_m = runner.SegmentationModel(TINY, variables,
+                                      RuntimeConfig(batch_buckets=(2, 4, 8)))
+    bundle = ModelBundle(page_m, m_r, m_t)
+    rng = np.random.default_rng(21)
+    image = _scaled_page(rng, 210, 170)
+
+    def run(raw_upload):
+        cfg = dataclasses.replace(
+            DEFAULT_CONFIG,
+            resize=ResizePolicy(300, 160, 1.0),
+            deskew=DeskewConfig(coarse_steps=6, vertical_steps=4),
+            runtime=dataclasses.replace(
+                DEFAULT_CONFIG.runtime, batch_buckets=(2, 4, 8),
+                deskew_canvas=256, raw_upload=raw_upload))
+        det = TextlineDetector(bundle, cfg)
+        res = det.process_image(image, "p.png")
+        return res
+
+    a = run(False)
+    b = run(True)
+    assert a.page_coord == b.page_coord
+    assert a.slopes == b.slopes
+    assert len(a.contours) == len(b.contours)
+    for ca, cb in zip(a.contours, b.contours):
+        np.testing.assert_array_equal(ca, cb)
+    import re
+    strip = lambda s: re.sub(rb"<Metadata>.*?</Metadata>", b"", s, flags=re.S)
+    assert strip(ET.tostring(a.xml_tree.getroot())) == \
+        strip(ET.tostring(b.xml_tree.getroot()))
