@@ -141,12 +141,14 @@ class RuntimeConfig:
     # whose crops differ by a few hundred pixels share one compiled tiled
     # program (cold-start and recompile control; padded rows/cols are white
     # and cropped away after stitching). Per-axis buckets (VERDICT r2 #4):
-    # y keeps 4 (A4-ish crops land on ny=12 regardless), x uses 2 — an A4
-    # crop's ~9-tile row rounds to 10 instead of 12, cutting the all-white
-    # tile share from ~33% to ~11% while page-box jitter of +-1 tile still
-    # lands on the same compiled program.
-    grid_bucket: int = 4
-    grid_bucket_x: int = 2
+    # (2, 1) measured 22.2 -> 17.4 TFLOP/page (-21%) on A4 bench pages vs
+    # the old (4, 4), won every interleaved A/B round vs (4, 2), and all
+    # four bench pages (straight/skewed/degraded) still landed on ONE
+    # compiled 10x7 program — A4 crop-box jitter is well under a tile.
+    # Page stocks of genuinely different size compile one extra program
+    # each (persisted in the XLA cache).
+    grid_bucket: int = 2
+    grid_bucket_x: int = 1
     # Model compute dtype. Params are kept fp32; matmul/conv run in bf16.
     compute_dtype: str = "bfloat16"
     # Maximum regions processed by the fixed-shape deskew sweep at once

@@ -667,10 +667,19 @@ class DeskewEngine:
 
         Raises ValueError when any region exceeds the static crop buffer
         (the caller falls back to the host path)."""
+        return self.resident_collect(
+            self.resident_dispatch(mask_dev, boxes_xywh))
+
+    def resident_dispatch(self, mask_dev, boxes_xywh):
+        """Enqueue the resident deskew programs for all region groups and
+        return a handle for resident_collect. Split out so the pipelined
+        batch can dispatch page N's deskew BEFORE page N+1's device phase
+        enqueues — the chip executes programs in order, so dispatching
+        late would serialize N's host phase behind N+1's segmentation."""
         boxes_xywh = [list(map(int, b)) for b in boxes_xywh]
         n = len(boxes_xywh)
         if n == 0:
-            return [], []
+            return []
         H, W = mask_dev.shape
         bufH, bufW = self.resident_buffer_shape((H, W))
         for x, y, w, h in boxes_xywh:
@@ -698,11 +707,14 @@ class DeskewEngine:
                                jnp.asarray(cy), jnp.asarray(cx),
                                jnp.asarray(angles))
             stagetime.add(__import__("time").time() - t0, 0.0)
-            pending.append((out_dev, flops, group))
+            pending.append((out_dev, flops, group, bufH))
+        return pending
 
+    def resident_collect(self, pending):
+        """Fetch the results of resident_dispatch: (slopes, profiles)."""
         slopes: List[float] = []
         profiles = []
-        for out_dev, flops, group in pending:
+        for out_dev, flops, group, bufH in pending:
             with stagetime.device_section(flops):
                 out = np.asarray(out_dev)
             for i, (x, y, w, h) in enumerate(group):

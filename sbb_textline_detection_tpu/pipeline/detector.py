@@ -381,8 +381,45 @@ class TextlineDetector:
         return states
 
     # -- host-bound phase ------------------------------------------------------
-    def host_phase(self, st: _DeviceState) -> PageResult:
-        """Contours, deskew + line split, reading order, PAGE-XML."""
+    def host_phase_dispatch(self, st: _DeviceState) -> Optional[Dict]:
+        """The host phase's device-enqueueing prefix: region contours and
+        the resident deskew DISPATCH. The pipelined batch runs this for
+        page N BEFORE submitting page N+1's device phase — the chip
+        executes programs in order, so dispatching N's deskew late would
+        make N's host phase wait behind N+1's entire segmentation.
+        Returns an opaque dict for host_phase, or None (host_phase then
+        does everything itself, including after any failure here)."""
+        from sbb_textline_detection_tpu.utils import stagetime
+
+        if st.region_mask is None or st.textline_dev is None:
+            return None
+        try:
+            t1 = time.time()
+            contours, boxes = stages.region_contours_and_boxes(
+                st.region_mask, self.config)
+            t_contours = time.time() - t1
+            handle = None
+            t_dispatch = d_dispatch = f_dispatch = 0.0
+            if contours and st.textline_mask is not None:
+                stagetime.reset()
+                t2 = time.time()
+                handle = stages.deskew_dispatch_resident(
+                    boxes, self.deskew, st.textline_dev)
+                t_dispatch = time.time() - t2
+                d_dispatch, f_dispatch = stagetime.snapshot()
+            return {"contours": contours, "boxes": boxes,
+                    "t_contours": t_contours, "handle": handle,
+                    "t_dispatch": t_dispatch, "d_dispatch": d_dispatch,
+                    "f_dispatch": f_dispatch}
+        except Exception:
+            LOG.warning("host-phase dispatch failed for %s; host_phase "
+                        "will redo it", st.image_filename, exc_info=True)
+            return None
+
+    def host_phase(self, st: _DeviceState,
+                   pre: Optional[Dict] = None) -> PageResult:
+        """Contours, deskew + line split, reading order, PAGE-XML.
+        `pre`: optional result of host_phase_dispatch (pipelined batch)."""
         from sbb_textline_detection_tpu.utils import stagetime
 
         cfg = self.config
@@ -401,7 +438,11 @@ class TextlineDetector:
 
         try:
             t1 = time.time()
-            if st.region_mask is not None:
+            pre_contours = time.time() - t1
+            if pre is not None:
+                contours, boxes = pre["contours"], pre["boxes"]
+                pre_contours = pre["t_contours"]
+            elif st.region_mask is not None:
                 try:
                     contours, boxes = stages.region_contours_and_boxes(
                         st.region_mask, cfg)
@@ -411,7 +452,7 @@ class TextlineDetector:
                     contours, boxes = [], []
             t["region_extraction"] = (
                 st.timings.get("region_extraction_model", 0.0)
-                + time.time() - t1)
+                + pre_contours + time.time() - t1)
 
             if len(contours) > 0 and st.textline_mask is None:
                 contours, boxes = [], []  # degrade: no line mask, no regions
@@ -420,10 +461,15 @@ class TextlineDetector:
                 t3 = time.time()
                 slopes, textlines = stages.slopes_and_lines(
                     contours, boxes, st.textline_mask, cfg, self.deskew,
-                    textline_dev=st.textline_dev)
+                    textline_dev=st.textline_dev,
+                    deskew_handle=pre.get("handle") if pre else None)
                 t["deskew"] = time.time() - t3
                 dev["deskew"], f = stagetime.snapshot()
                 flops += f
+                if pre is not None:
+                    t["deskew"] += pre["t_dispatch"]
+                    dev["deskew"] += pre["d_dispatch"]
+                    flops += pre["f_dispatch"]
 
                 t4 = time.time()
                 indexes_sorted, matrix = order_mod.order_of_regions(
@@ -641,13 +687,19 @@ class TextlineDetector:
                 pass
             while pending:
                 fut = pending.pop(0)
+                states = fut.result()
+                # Enqueue this group's deskew programs BEFORE the next
+                # group's device phase: the chip runs programs in order,
+                # so the reverse order would stall this group's host
+                # phase behind the next group's segmentation.
+                pres = [self.host_phase_dispatch(s) for s in states]
                 try:
                     pending.append(pool.submit(self.device_phase_group,
                                                next(it)))
                 except StopIteration:
                     pass
-                for state in fut.result():
-                    yield self.host_phase(state)
+                for state, pre in zip(states, pres):
+                    yield self.host_phase(state, pre)
 
     def run_file(self, image_path: str, dir_out: str,
                  f_name: Optional[str] = None) -> str:

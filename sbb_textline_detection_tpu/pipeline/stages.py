@@ -451,10 +451,25 @@ def textline_postprocess_profile(profile_pair, slope: float,
         return []
 
 
+def deskew_dispatch_resident(boxes: List[List[int]], engine: DeskewEngine,
+                             textline_dev):
+    """Enqueue the resident deskew programs for a page's regions (see
+    DeskewEngine.resident_dispatch); returns a handle for slopes_and_lines
+    or None when the resident path is unavailable (host fallback)."""
+    if textline_dev is None or not hasattr(engine, "resident_dispatch"):
+        return None
+    try:
+        return engine.resident_dispatch(textline_dev, boxes)
+    except Exception:
+        logger.warning("resident deskew dispatch failed for %d regions; "
+                       "host path will run", len(boxes), exc_info=True)
+        return None
+
+
 def slopes_and_lines(contours: List[np.ndarray], boxes: List[List[int]],
                      textline_mask: np.ndarray, models_cfg: PipelineConfig,
                      engine: Optional[DeskewEngine] = None,
-                     textline_dev=None
+                     textline_dev=None, deskew_handle=None
                      ) -> Tuple[List[float], List[List[np.ndarray]]]:
     """Reference get_slopes_and_deskew + do_work_of_slopes
     (main.py:1721-1799), without the multiprocessing fan-out: the angle
@@ -469,11 +484,12 @@ def slopes_and_lines(contours: List[np.ndarray], boxes: List[List[int]],
     peak logic; any resident failure falls back to this host path."""
     cfg = models_cfg
     engine = engine or DeskewEngine(cfg.deskew)
-    if textline_dev is not None and \
-            hasattr(engine, "slopes_and_profiles_resident"):
+    if deskew_handle is None and textline_dev is not None:
+        deskew_handle = deskew_dispatch_resident(boxes, engine,
+                                                 textline_dev)
+    if deskew_handle is not None:
         try:
-            slopes, profiles = engine.slopes_and_profiles_resident(
-                textline_dev, boxes)
+            slopes, profiles = engine.resident_collect(deskew_handle)
             return slopes, [
                 textline_postprocess_profile(p, s, contour, box, cfg)
                 for p, s, contour, box in zip(profiles, slopes, contours,

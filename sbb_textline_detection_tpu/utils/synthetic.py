@@ -205,13 +205,32 @@ def _stripes_patch(rng: np.random.Generator, h: int, w: int
 
 
 def _augment_patch(rng: np.random.Generator, img: np.ndarray) -> np.ndarray:
-    """Mild train-time degradations (blur / noise / contrast jitter) so the
-    models stay robust to the scan defects degrade_page simulates at page
-    scale. Applied to float [0,1] single-channel patches."""
+    """Train-time degradations mirroring degrade_page at patch scale: blur,
+    sensor noise, contrast squeeze, low-frequency stains, and salt/pepper
+    dropouts. Applied to float [0,1] single-channel patches. The stain +
+    dropout terms matter for degraded-page precision: without them the
+    region model fragments blocks wherever a stain crosses a paragraph
+    (bench `region_precision` on degraded pages)."""
+    h, w = img.shape[:2]
     if rng.uniform() < 0.5:
-        img = _box_blur(img[:, :, None].astype(np.float32), 1)[:, :, 0]
+        img = _box_blur(img[:, :, None].astype(np.float32),
+                        int(rng.integers(1, 3)))[:, :, 0]
     img = img + rng.normal(0.0, 0.02, img.shape).astype(np.float32)
-    img = (img - 0.5) * rng.uniform(0.75, 1.0) + 0.5 + rng.uniform(-0.04, 0.04)
+    img = (img - 0.5) * rng.uniform(0.7, 1.0) + 0.5 + rng.uniform(-0.05, 0.05)
+    if rng.uniform() < 0.6:
+        # stains: the degrade_page blob model (scaled to patch size)
+        yy = np.arange(h, dtype=np.float32)[:, None]
+        xx = np.arange(w, dtype=np.float32)[None, :]
+        for _ in range(int(rng.integers(1, 3))):
+            cy = float(rng.uniform(0, h))
+            cx = float(rng.uniform(0, w))
+            rad = float(rng.uniform(h / 8, h / 3))
+            blob = np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (rad * rad))
+            img = img - rng.uniform(0.04, 0.12) * blob
+    if rng.uniform() < 0.5:
+        sp = rng.uniform(size=img.shape)
+        img[sp < 0.001] = 0.0
+        img[sp > 1.0 - 0.001] = 1.0
     return np.clip(img, 0.0, 1.0).astype(np.float32)
 
 
@@ -226,13 +245,31 @@ def textline_batch(rng: np.random.Generator, n: int, h: int, w: int
     return imgs, labels
 
 
+def _otsu_binarize01(img01: np.ndarray) -> np.ndarray:
+    """Otsu-binarize a float [0,1] single-channel patch to {0.0, 1.0} with
+    the pipeline's threshold semantics (ops/threshold otsu on the uint8
+    image, foreground = pixel > t)."""
+    from sbb_textline_detection_tpu.ops import threshold as threshold_ops
+
+    u8 = np.clip(img01 * 255.0, 0, 255).astype(np.uint8)
+    t = threshold_ops.otsu_threshold_host(u8)
+    return (u8 > t).astype(np.float32)
+
+
 def region_batch(rng: np.random.Generator, n: int, h: int, w: int
                  ) -> Tuple[np.ndarray, np.ndarray]:
+    """Region-model batches are OTSU-BINARIZED: at inference the region
+    model only ever sees otsu_copy output (reference main.py:439-454;
+    fused on device in runner.fwd_region), so training on the binarized
+    patch removes the train/serve input mismatch — and teaches the model
+    to bridge binarization pepper and stain edges instead of fragmenting
+    blocks (bench degraded-page region precision)."""
     imgs = np.zeros((n, h, w, 3), np.float32)
     labels = np.zeros((n, h, w), np.int32)
     for i in range(n):
         img, _, block = _stripes_patch(rng, h, w)
-        imgs[i] = img
+        binary = _otsu_binarize01(img[:, :, 0])
+        imgs[i] = np.repeat(binary[:, :, None], 3, axis=2)
         labels[i] = block
     return imgs, labels
 
