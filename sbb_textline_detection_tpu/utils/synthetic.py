@@ -231,7 +231,62 @@ def _augment_patch(rng: np.random.Generator, img: np.ndarray) -> np.ndarray:
         sp = rng.uniform(size=img.shape)
         img[sp < 0.001] = 0.0
         img[sp > 1.0 - 0.001] = 1.0
+    if rng.uniform() < 0.5:
+        # pepper BLOBS (2-5 px): skew rotation smears single-pixel pepper
+        # into multi-pixel smudges that survive Otsu binarization — the
+        # region model must learn these are not text
+        for _ in range(int(rng.integers(2, 14))):
+            cy = int(rng.integers(0, h))
+            cx = int(rng.integers(0, w))
+            r = int(rng.integers(1, 3))
+            img[max(0, cy - r):cy + r + 1, max(0, cx - r):cx + r + 1] = \
+                rng.uniform(0.0, 0.25)
     return np.clip(img, 0.0, 1.0).astype(np.float32)
+
+
+def _edge_cut(rng: np.random.Generator, gray: np.ndarray, *masks):
+    """Simulate a page-edge tile: white out one side of the patch (and its
+    labels). The tiled inference grid's trailing row/column sees tiles
+    that are mostly white canvas padding plus a narrow content strip —
+    without these patches the region model hallucinates text specks along
+    the crop edge (the dominant precision loss on bench pages)."""
+    h, w = gray.shape
+    side = int(rng.integers(0, 4))
+    f = float(rng.uniform(0.05, 0.6))   # fraction of the patch KEPT
+    if side == 0:
+        cut = max(1, int(w * f))
+        gray[:, cut:] = 1.0
+        for m in masks:
+            m[:, cut:] = 0
+    elif side == 1:
+        cut = min(w - 1, int(w * (1 - f)))
+        gray[:, :cut] = 1.0
+        for m in masks:
+            m[:, :cut] = 0
+    elif side == 2:
+        cut = max(1, int(h * f))
+        gray[cut:, :] = 1.0
+        for m in masks:
+            m[cut:, :] = 0
+    else:
+        cut = min(h - 1, int(h * (1 - f)))
+        gray[:cut, :] = 1.0
+        for m in masks:
+            m[:cut, :] = 0
+    return gray
+
+
+def _blank_patch(rng: np.random.Generator, h: int, w: int) -> np.ndarray:
+    """Blank paper/white patch (label: all background). The tiled grid's
+    margin and trailing tiles are mostly or entirely blank after
+    binarization; a model never trained on blank input produces an
+    arbitrary class map there (measured 7.7%% spurious text on an
+    all-white tile), which surfaces as spec-sized false regions along the
+    page-crop edge."""
+    gray = np.full((h, w), float(rng.uniform(0.92, 1.0)), np.float32)
+    if rng.uniform() < 0.5:
+        gray = _augment_patch(rng, gray)
+    return gray
 
 
 def textline_batch(rng: np.random.Generator, n: int, h: int, w: int
@@ -239,7 +294,15 @@ def textline_batch(rng: np.random.Generator, n: int, h: int, w: int
     imgs = np.zeros((n, h, w, 3), np.float32)
     labels = np.zeros((n, h, w), np.int32)
     for i in range(n):
+        if rng.uniform() < 0.1:
+            imgs[i] = np.repeat(_blank_patch(rng, h, w)[:, :, None], 3,
+                                axis=2)
+            continue
         img, stroke, _ = _stripes_patch(rng, h, w)
+        gray = img[:, :, 0]
+        if rng.uniform() < 0.25:
+            gray = _edge_cut(rng, gray, stroke)
+            img = np.repeat(gray[:, :, None], 3, axis=2)
         imgs[i] = img
         labels[i] = stroke
     return imgs, labels
@@ -267,8 +330,30 @@ def region_batch(rng: np.random.Generator, n: int, h: int, w: int
     imgs = np.zeros((n, h, w, 3), np.float32)
     labels = np.zeros((n, h, w), np.int32)
     for i in range(n):
+        if rng.uniform() < 0.12:
+            # fixed threshold, NOT per-patch Otsu: at inference the Otsu
+            # scope is the whole page crop (bimodal), so a blank tile
+            # binarizes to paper=1 / pepper=0 — per-patch Otsu on a
+            # unimodal blank patch would split the paper itself
+            binary = (_blank_patch(rng, h, w) > 0.5).astype(np.float32)
+            imgs[i] = np.repeat(binary[:, :, None], 3, axis=2)
+            continue
         img, _, block = _stripes_patch(rng, h, w)
-        binary = _otsu_binarize01(img[:, :, 0])
+        gray = img[:, :, 0]
+        if rng.uniform() < 0.5:
+            # crooked-scan rotation (bench skew range): slanted stroke
+            # edges and smeared degradations are in-distribution, not
+            # surprises (skewed-page region precision)
+            from sbb_textline_detection_tpu.ops import rotate as rotate_ops
+            ang = float(rng.uniform(-8.0, 8.0))
+            gray = rotate_ops.rotate_image_host(
+                gray.astype(np.float64), ang, order=1).astype(np.float32)
+            block = (rotate_ops.rotate_image_host(
+                block.astype(np.float64), ang, order=0) > 0.5
+                ).astype(np.uint8)
+        if rng.uniform() < 0.3:
+            gray = _edge_cut(rng, gray.copy(), block)
+        binary = _otsu_binarize01(gray)
         imgs[i] = np.repeat(binary[:, :, None], 3, axis=2)
         labels[i] = block
     return imgs, labels
