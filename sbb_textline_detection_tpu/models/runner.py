@@ -572,7 +572,13 @@ class SegmentationModel:
         INTER_NEAREST index maps), so the host never resizes the ~10 MP
         page (reference main.py:196-214 does it on the host) and the
         upload carries the raw bytes — ~30%% smaller than the resized
-        working canvas."""
+        working canvas.
+
+        `image` may be (h, w, 3) RGB or a single (h, w) gray plane: when a
+        scan's three channels are byte-identical (detector checks), one
+        plane carries the same information at a third of the (blocking,
+        ~130 MB/s) host->device bytes; the device program re-broadcasts to
+        the models' 3-channel input, so results are bit-identical."""
         h, w = image.shape[:2]
         ph = -(-h // 128) * 128
         pw = -(-w // 128) * 128
@@ -877,6 +883,7 @@ class SegmentationModel:
                               other.variables, canv_ex, boxes_ex)
         else:
             raw_h, raw_w = raw_shape[1], raw_shape[2]
+            gray = len(raw_shape) == 3  # (k, h, w) single-plane pages
 
             def fn_raw(vars_r, vars_t, raws_u8, boxes, iy_map, ix_map):
                 def build_canvas(raw, iyb, ixb):
@@ -888,9 +895,17 @@ class SegmentationModel:
                     cv = jnp.take(rows, jnp.clip(ixb, 0, raw_w - 1),
                                   axis=1)
                     ok = (iyb[:, None] >= 0) & (ixb[None, :] >= 0)
+                    if gray:
+                        cv = cv[..., None]
                     return jnp.where(ok[..., None], cv, jnp.uint8(255))
 
                 canvases = jax.vmap(build_canvas)(raws_u8, iy_map, ix_map)
+                if gray:
+                    # broadcast the plane back to the models' 3-channel
+                    # input; XLA fuses this into the tile gather, so the
+                    # triple never materializes page-sized in HBM
+                    canvases = jnp.broadcast_to(
+                        canvases, canvases.shape[:3] + (3,))
                 return _core(vars_r, vars_t, canvases, boxes)
 
             raw_ex = jax.ShapeDtypeStruct(raw_shape, jnp.uint8)

@@ -38,6 +38,24 @@ from sbb_textline_detection_tpu.pipeline import stages
 from sbb_textline_detection_tpu.pipeline.deskew import DeskewEngine
 
 
+def _channels_identical(image: np.ndarray) -> bool:
+    """True when an RGB page's three planes are byte-identical — common
+    for gray scans stored as RGB. The raw-upload path then ships ONE
+    plane (a third of the blocking ~130 MB/s host->device bytes) and the
+    device program re-broadcasts it, bit-identically. A strided sample
+    rejects genuinely colored pages in ~microseconds; only near-gray
+    pages pay the two full-plane compares (~25 ms, vs ~130 ms upload
+    saved)."""
+    if image.ndim != 3 or image.shape[2] != 3:
+        return False
+    s = image[::64, ::64]
+    if not (np.array_equal(s[..., 0], s[..., 1])
+            and np.array_equal(s[..., 0], s[..., 2])):
+        return False
+    return bool(np.array_equal(image[..., 0], image[..., 1])
+                and np.array_equal(image[..., 0], image[..., 2]))
+
+
 @dataclasses.dataclass
 class PageResult:
     xml_tree: "object"
@@ -130,7 +148,8 @@ class TextlineDetector:
         t0 = time.time()
         th, tw = stages.working_dims(image, cfg)
         scaled = stages.LazyScaledImage(image, th, tw)
-        raw_dev = self.models.region.upload_raw(image)
+        raw_dev = self.models.region.upload_raw(
+            image[:, :, 0] if _channels_identical(image) else image)
         mh, mw = self.models.page.input_hw
         small = stages.page_model_input_from_raw(image, th, tw, mh, mw)
         try:

@@ -101,6 +101,44 @@ def test_raw_resident_matches_canvas_resident(duo):
     np.testing.assert_array_equal(got[1], want[1])
 
 
+def test_raw_resident_gray_plane_matches_rgb(duo):
+    """A channel-identical page uploaded as ONE gray plane (a third of the
+    h2d bytes) must produce bit-identical masks to the 3-channel upload:
+    the device program broadcasts the plane back to the models' input."""
+    m_r, m_t = duo
+    rng = np.random.default_rng(17)
+    gray = np.where(rng.uniform(size=(200, 170)) < 0.35, 40, 230
+                    ).astype(np.uint8)
+    raw = np.repeat(gray[:, :, None], 3, axis=2)
+    th, tw = 160, 136
+    box = [10, 6, 140, 120]
+
+    want = m_r.predict_dual_tiled_resident_raw(
+        m_t, [m_r.upload_raw(raw)], [box], [(th, tw)],
+        morph=MORPH, mask_class=1, post_morph=POST,
+        raw_hws=[raw.shape[:2]])[0]
+    got = m_r.predict_dual_tiled_resident_raw(
+        m_t, [m_r.upload_raw(gray)], [box], [(th, tw)],
+        morph=MORPH, mask_class=1, post_morph=POST,
+        raw_hws=[gray.shape[:2]])[0]
+    np.testing.assert_array_equal(got[0], want[0])
+    np.testing.assert_array_equal(got[1], want[1])
+
+
+def test_channels_identical_detection():
+    from sbb_textline_detection_tpu.pipeline.detector import (
+        _channels_identical)
+
+    rng = np.random.default_rng(23)
+    gray = np.repeat(rng.integers(0, 255, (130, 90, 1)), 3, axis=2
+                     ).astype(np.uint8)
+    assert _channels_identical(gray)
+    color = gray.copy()
+    color[77, 33, 2] ^= 1          # one differing byte, off the sample grid
+    assert not _channels_identical(color)
+    assert not _channels_identical(gray[:, :, 0])
+
+
 def test_raw_resident_device_textline_matches_host_mask(duo):
     m_r, m_t = duo
     rng = np.random.default_rng(13)
