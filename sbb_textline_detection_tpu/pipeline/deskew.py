@@ -61,7 +61,7 @@ argmax semantics are unchanged.
 from __future__ import annotations
 
 import functools
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -523,11 +523,16 @@ class DeskewEngine:
         return next((b for b in _BUCKETS if b >= target and
                      b <= self.max_canvas), self.max_canvas)
 
-    def _aot_resident(self, mask_shape, s: int, bufH: int, bufW: int):
+    def _aot_resident(self, mask_shape, s: int, bufH: int, bufW: int,
+                      B: Optional[int] = None):
         """AOT-compile (once per shape) the one-dispatch resident program:
         crops -> erode x2 -> canvases -> coarse+vertical radon -> scores ->
-        slope decision -> OPEN+CLOSE -> rotated-projection profiles."""
-        B = self.region_batch
+        slope decision -> OPEN+CLOSE -> rotated-projection profiles.
+        `B` is the slot count (default region_batch); remainder groups use
+        smaller power-of-two programs — exec scales ~linearly with slots
+        (~12 ms/slot measured), so padding a 1-region tail to 8 slots
+        wastes ~80 ms."""
+        B = B or self.region_batch
         cfg = self.cfg
         ac_n = self._coarse.shape[0]
         av_n = self._vertical.shape[0]
@@ -681,19 +686,31 @@ class DeskewEngine:
         if n == 0:
             return []
         H, W = mask_dev.shape
-        bufH, bufW = self.resident_buffer_shape((H, W))
+        capH, capW = self.resident_buffer_shape((H, W))
         for x, y, w, h in boxes_xywh:
-            if h > bufH or w > bufW:
+            if h > capH or w > capW:
                 raise ValueError(
                     f"region {h}x{w} exceeds the resident deskew buffer "
-                    f"{bufH}x{bufW}; host path required")
+                    f"{capH}x{capW}; host path required")
         s = self._bucket_for_sizes([(b[3], b[2]) for b in boxes_xywh])
-        B = self.region_batch
+        buckets = self._batch_buckets()
         angles = np.concatenate([self._coarse, self._vertical])
 
         pending = []
-        for start in range(0, n, B):
+        start = 0
+        while start < n:
+            # greedy split: full region_batch groups, then the remainder in
+            # the smallest power-of-two bucket that holds it (slot exec is
+            # the dominant cost; see _aot_resident)
+            B = next((bb for bb in buckets if bb >= n - start), buckets[-1])
             group = boxes_xywh[start:start + B]
+            # crop buffer sized to THIS group's largest region (rounded up
+            # to 256), not the whole mask: erode, OPEN/CLOSE, and the
+            # rotated projections all run over B x bufH x bufW, and a
+            # paragraph-sized region in a 2816-tall buffer wastes ~40 ms
+            # per group (measured buf 1024 vs 2816)
+            bufH = min(-(-max(b[3] for b in group) // 256) * 256, capH)
+            bufW = min(-(-max(b[2] for b in group) // 256) * 256, capW)
             boxes_arr = np.zeros((B, 4), np.int32)
             cy = np.full((B, s), -1, np.int32)
             cx = np.full((B, s), -1, np.int32)
@@ -701,13 +718,14 @@ class DeskewEngine:
                 boxes_arr[i] = (y, x, h, w)
                 cy[i], cx[i] = _canvas_index_maps(h, w, s,
                                                   self.cfg.pad_factor)
-            compiled, flops = self._aot_resident((H, W), s, bufH, bufW)
+            compiled, flops = self._aot_resident((H, W), s, bufH, bufW, B)
             t0 = __import__("time").time()
             out_dev = compiled(mask_dev, jnp.asarray(boxes_arr),
                                jnp.asarray(cy), jnp.asarray(cx),
                                jnp.asarray(angles))
             stagetime.add(__import__("time").time() - t0, 0.0)
             pending.append((out_dev, flops, group, bufH))
+            start += B
         return pending
 
     def resident_collect(self, pending):

@@ -629,8 +629,19 @@ class TextlineDetector:
                                   nx * (mw - 2 * margin)), jnp.uint8)
                 side = max(8, int(s / self.deskew.cfg.pad_factor))
                 side = min(side, mask.shape[0], mask.shape[1])
-                self.deskew.slopes_and_profiles_resident(
-                    mask, [[0, 0, side, side]])
+                # every power-of-two group bucket is a distinct compiled
+                # program (resident_dispatch's greedy split); warm each in
+                # its own thread so the 5-30 s program loads overlap
+                def warm_bucket(b):
+                    self.deskew.slopes_and_profiles_resident(
+                        mask, [[0, 0, side, side]] * b)
+                bthreads = [threading.Thread(target=warm_bucket, args=(b,),
+                                             daemon=True)
+                            for b in self.deskew._batch_buckets()]
+                for t in bthreads:
+                    t.start()
+                for t in bthreads:
+                    t.join()
                 self.deskew._sweep_batched(
                     np.zeros((self.deskew.region_batch, s, s), np.uint8),
                     s, self.deskew._coarse)
