@@ -72,11 +72,15 @@ def ensure_bench_checkpoints(ckpt_dir: str, steps: int, seed: int = 0) -> str:
 
     os.makedirs(ckpt_dir, exist_ok=True)
     names = DEFAULT_CONFIG.model_names
-    for role in ("page", "region", "textline"):
+    # The dual-head flagship serves the region AND textline roles with one
+    # shared-trunk forward (registry.DUALHEAD_SPEC) — it trains on the
+    # joint task and halves the fused segmentation cost per page.
+    for role in ("page", "dualhead"):
         path = checkpoint.checkpoint_path(ckpt_dir, getattr(names, role))
         if os.path.exists(path):
             continue
-        spec = registry.DEFAULT_SPECS[role]
+        spec = (registry.DUALHEAD_SPEC if role == "dualhead"
+                else registry.DEFAULT_SPECS[role])
         _log(f"[bench] training {role} checkpoint "
              f"({steps} steps) -> {path}")
         trainer = train.Trainer(spec, learning_rate=3e-4, seed=seed)

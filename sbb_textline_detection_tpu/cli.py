@@ -50,7 +50,11 @@ def main(image, out, model, synthetic_models, profile, timings):
     from sbb_textline_detection_tpu.utils import profiling
 
     if synthetic_models:
-        models = ModelBundle.random_init(DEFAULT_CONFIG.runtime)
+        # dual_head: the flagship serving config (one shared-trunk forward
+        # for the region+textline roles) — the smoke path exercises what
+        # production runs
+        models = ModelBundle.random_init(DEFAULT_CONFIG.runtime,
+                                         dual_head=True)
     elif model:
         models = ModelBundle.from_dir(model, DEFAULT_CONFIG.runtime,
                                       DEFAULT_CONFIG.model_names)

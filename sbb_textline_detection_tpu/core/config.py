@@ -110,6 +110,11 @@ class ModelNames:
     page: str = "model_page_mixed_best"
     region: str = "model_strukturerkennung"
     textline: str = "model_textline_new"
+    # Dual-head flagship (registry.DUALHEAD_SPEC): when a checkpoint with
+    # this name exists in the model dir, it serves BOTH the region and
+    # textline roles with one shared-trunk forward; the two classic
+    # checkpoints are then not required.
+    dualhead: str = "model_dualhead"
 
 
 @dataclasses.dataclass(frozen=True)

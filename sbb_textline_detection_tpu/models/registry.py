@@ -26,6 +26,19 @@ class ModelSpec:
     input_width: int
     n_classes: int
     widths: Tuple[int, ...] = (64, 128, 256, 512)
+    # Dual-head flagship (see runner dual-head paths): `heads` splits the
+    # n_classes logits into per-task argmax groups — (3, 2) = region head
+    # {background, text, other} + textline head {background, textline} on
+    # one shared trunk, halving the fused segmentation forward cost.
+    # `in_channels` is the model input depth: 3 for the classic RGB-tile
+    # models, 2 for the dual-head input [raw01, otsu-binarized].
+    heads: Tuple[int, ...] = ()
+    in_channels: int = 3
+
+    def __post_init__(self):
+        if self.heads and sum(self.heads) != self.n_classes:
+            raise ValueError(
+                f"heads {self.heads} must sum to n_classes {self.n_classes}")
 
     def to_meta(self) -> dict:
         return dataclasses.asdict(self)
@@ -34,6 +47,8 @@ class ModelSpec:
     def from_meta(meta: dict) -> "ModelSpec":
         meta = dict(meta)
         meta["widths"] = tuple(meta.get("widths", (64, 128, 256, 512)))
+        meta["heads"] = tuple(meta.get("heads", ()))
+        meta.setdefault("in_channels", 3)
         return ModelSpec(**meta)
 
 
@@ -46,6 +61,15 @@ DEFAULT_SPECS = {
     "textline": ModelSpec("model_textline_new", "tpu_unet", 448, 448, 2),
 }
 
+# The dual-head flagship: region (3) + textline (2) heads on one trunk,
+# fed [raw01, otsu-binarized]. One forward replaces the fused path's two
+# (the trunk cost is channel-count independent past the stem), halving
+# segmentation FLOPs per tile. Serves BOTH the region and textline roles
+# of a ModelBundle; the classic two-model bundle remains the import
+# target for upstream .h5 checkpoints (separate models, main.py:58-60).
+DUALHEAD_SPEC = ModelSpec("model_dualhead", "tpu_unet", 448, 448, 5,
+                          heads=(3, 2), in_channels=2)
+
 
 def build_module(spec: ModelSpec):
     if spec.arch == "tpu_unet":
@@ -57,7 +81,8 @@ def build_module(spec: ModelSpec):
 
 def init_variables(spec: ModelSpec, seed: int = 0):
     module = build_module(spec)
-    dummy = jnp.zeros((1, spec.input_height, spec.input_width, 3), jnp.float32)
+    dummy = jnp.zeros((1, spec.input_height, spec.input_width,
+                       spec.in_channels), jnp.float32)
     # jit the init: one compile, and XLA dead-code-eliminates the forward
     # math (param init depends only on shapes) — eager init would compile
     # every conv op separately.

@@ -65,7 +65,8 @@ def _validate_variables(module, spec: ModelSpec, variables) -> None:
     silently degrade every page to an empty PAGE-XML)."""
     expected = jax.eval_shape(
         module.init, jax.random.PRNGKey(0),
-        jnp.zeros((1, spec.input_height, spec.input_width, 3), jnp.float32))
+        jnp.zeros((1, spec.input_height, spec.input_width,
+                   spec.in_channels), jnp.float32))
     exp = {jax.tree_util.keystr(k): v.shape for k, v in
            jax.tree_util.tree_flatten_with_path(expected)[0]}
     got = {jax.tree_util.keystr(k): np.shape(v) for k, v in
@@ -277,6 +278,95 @@ class SegmentationModel:
                 canvas = morphology.dilate(canvas, k, it)
         return canvas
 
+    def _is_dual_head_pair(self, other: "SegmentationModel") -> bool:
+        """True when `self` (region role) and `other` (textline role) are
+        the SAME dual-head flagship model (registry.DUALHEAD_SPEC): one
+        shared-trunk forward then yields both label maps."""
+        return other is self and bool(self.spec.heads)
+
+    def textline_n_classes(self, other: "SegmentationModel") -> int:
+        """Class count of the textline label map a fused dual path emits —
+        the last head's width on a dual-head model, else `other`'s full
+        class count. Decides 1-bit vs 2-bit packing of the transfer."""
+        if self._is_dual_head_pair(other):
+            return int(self.spec.heads[-1])
+        return int(other.spec.n_classes)
+
+    def _fused_forward_pair(self, other: "SegmentationModel", vars_r,
+                            vars_t, tiles, t_tiles, chunk: int):
+        """The forward section shared by every fused dual program:
+        (region labels, textline labels) uint8 for a (n_pad, mh, mw, 3)
+        uint8 tile batch with per-tile Otsu thresholds `t_tiles` (n_pad,).
+
+        Classic pair: the region model sees the otsu_copy binarization
+        (all 3 channels = channel 0 thresholded, main.py:191-193) and the
+        textline model the raw tiles /255 (main.py:490-503) — two full
+        forwards. Dual-head flagship (self is other, spec.heads): ONE
+        forward of the shared trunk on the 2-channel input
+        [raw01 (channel 0 /255), otsu-binarized] and a per-head argmax —
+        halving the fused segmentation FLOPs. Outputs keep the lax.map
+        chunk structure; callers reshape via their stitch().
+        """
+        n_pad, mh, mw = tiles.shape[0], tiles.shape[1], tiles.shape[2]
+        mesh = self.mesh
+        module_r, module_t = self._module, other._module
+
+        if self._is_dual_head_pair(other):
+            h0 = int(self.spec.heads[0])
+
+            def fwd_pair(batch, tb):
+                ch0 = jnp.where(
+                    batch[..., 0].astype(jnp.int32)
+                    > tb[:, None, None].astype(jnp.int32),
+                    jnp.float32(1.0), jnp.float32(0.0))
+                raw = batch[..., 0].astype(jnp.float32) / 255.0
+                x = jnp.stack([raw, ch0], axis=-1)
+                logits = module_r.apply(vars_r, x)
+                lr = jnp.argmax(logits[..., :h0], axis=-1).astype(jnp.uint8)
+                lt = jnp.argmax(logits[..., h0:], axis=-1).astype(jnp.uint8)
+                return lr, lt
+
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+                tiles = jax.lax.with_sharding_constraint(
+                    tiles, NamedSharding(
+                        mesh, PartitionSpec("data", None, None, None)))
+                return fwd_pair(tiles, t_tiles)
+            chunked = tiles.reshape(n_pad // chunk, chunk, mh, mw, 3)
+            t_chunked = t_tiles.reshape(n_pad // chunk, chunk)
+            return jax.lax.map(lambda bt: fwd_pair(bt[0], bt[1]),
+                               (chunked, t_chunked))
+
+        def fwd_region(batch, tb):
+            # otsu_copy semantics per page (main.py:191-193): all 3
+            # channels get channel 0's binarization at that page's
+            # threshold
+            ch0 = jnp.where(
+                batch[..., 0].astype(jnp.int32)
+                > tb[:, None, None].astype(jnp.int32),
+                jnp.float32(1.0), jnp.float32(0.0))
+            x = jnp.repeat(ch0[..., None], 3, axis=-1)
+            logits = module_r.apply(vars_r, x)
+            return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+
+        def fwd_textline(batch):
+            x = batch.astype(jnp.float32) / 255.0
+            logits = module_t.apply(vars_t, x)
+            return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            tiles = jax.lax.with_sharding_constraint(
+                tiles, NamedSharding(
+                    mesh, PartitionSpec("data", None, None, None)))
+            return fwd_region(tiles, t_tiles), fwd_textline(tiles)
+        chunked = tiles.reshape(n_pad // chunk, chunk, mh, mw, 3)
+        t_chunked = t_tiles.reshape(n_pad // chunk, chunk)
+        labels_r = jax.lax.map(
+            lambda bt: fwd_region(bt[0], bt[1]), (chunked, t_chunked))
+        labels_t = jax.lax.map(fwd_textline, chunked)
+        return labels_r, labels_t
+
     def _tiled_fn(self, ny: int, nx: int, margin: int, morph: MorphSpec,
                   pre_otsu: bool, mask_class: Optional[int],
                   post_morph: MorphSpec, example_img: np.ndarray):
@@ -442,7 +532,8 @@ class SegmentationModel:
         # Both canvases are strictly binary when the region map is
         # class-masked and the textline model is 2-class (the flagship
         # config) — 1-bit packing then halves the slow d2h transfer.
-        bits1 = mask_class is not None and other.spec.n_classes <= 2
+        bits1 = (mask_class is not None
+                 and self.textline_n_classes(other) <= 2)
         compiled, flops = self._dual_tiled_fn(
             other, ny, nx, margin, tuple(morph or ()), mask_class,
             tuple(post_morph or ()), img, bits1, return_device_textline)
@@ -519,7 +610,8 @@ class SegmentationModel:
             _pad_white(im, margin, ny * sh - im.shape[0] + margin,
                        margin, nx * sw - im.shape[1] + margin)
             for im in imgs])
-        bits1 = mask_class is not None and other.spec.n_classes <= 2
+        bits1 = (mask_class is not None
+                 and self.textline_n_classes(other) <= 2)
         compiled, flops = self._dual_tiled_multi_fn(
             other, k, ny, nx, margin, tuple(morph or ()), mask_class,
             tuple(post_morph or ()), stacked, bits1,
@@ -640,7 +732,8 @@ class SegmentationModel:
         iy_all = np.broadcast_to(iy, (k, ch)).copy()
         ix_all = np.broadcast_to(ix, (k, cw)).copy()
         stacked = jnp.stack(raws)
-        bits1 = mask_class is not None and other.spec.n_classes <= 2
+        bits1 = (mask_class is not None
+                 and self.textline_n_classes(other) <= 2)
         compiled, flops = self._dual_tiled_resident_fn(
             other, k, ny, nx, margin, (k, ch, cw, 3),
             tuple(morph or ()), mask_class, tuple(post_morph or ()), bits1,
@@ -717,7 +810,8 @@ class SegmentationModel:
         if len(shapes) != 1:
             raise ValueError(f"canvas shapes differ: {sorted(shapes)}")
         stacked = jnp.stack(canvases)
-        bits1 = mask_class is not None and other.spec.n_classes <= 2
+        bits1 = (mask_class is not None
+                 and self.textline_n_classes(other) <= 2)
         compiled, flops = self._dual_tiled_resident_fn(
             other, k, ny, nx, margin, tuple(stacked.shape),
             tuple(morph or ()), mask_class, tuple(post_morph or ()), bits1,
@@ -771,9 +865,6 @@ class SegmentationModel:
         jj, ii = np.meshgrid(np.arange(ny), np.arange(nx), indexing="ij")
         jjr = jj.ravel() * sh
         iir = ii.ravel() * sw
-        module_r = self._module
-        module_t = other._module
-        mesh = self.mesh
 
         def stitch(labels):
             labels = labels.reshape(n_pad, mh, mw)[:total]
@@ -824,34 +915,8 @@ class SegmentationModel:
                 t_tiles = jnp.concatenate(
                     [t_tiles, jnp.zeros((n_pad - total,), t_tiles.dtype)])
 
-            def fwd_region(batch, tb):
-                ch0 = jnp.where(
-                    batch[..., 0].astype(jnp.int32)
-                    > tb[:, None, None].astype(jnp.int32),
-                    jnp.float32(1.0), jnp.float32(0.0))
-                x = jnp.repeat(ch0[..., None], 3, axis=-1)
-                logits = module_r.apply(vars_r, x)
-                return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
-
-            def fwd_textline(batch):
-                x = batch.astype(jnp.float32) / 255.0
-                logits = module_t.apply(vars_t, x)
-                return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
-
-            if mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec
-                tiles = jax.lax.with_sharding_constraint(
-                    tiles, NamedSharding(
-                        mesh, PartitionSpec("data", None, None, None)))
-                labels_r = fwd_region(tiles, t_tiles)
-                labels_t = fwd_textline(tiles)
-            else:
-                chunked = tiles.reshape(n_pad // chunk, chunk, mh, mw, 3)
-                t_chunked = t_tiles.reshape(n_pad // chunk, chunk)
-                labels_r = jax.lax.map(
-                    lambda bt: fwd_region(bt[0], bt[1]),
-                    (chunked, t_chunked))
-                labels_t = jax.lax.map(fwd_textline, chunked)
+            labels_r, labels_t = self._fused_forward_pair(
+                other, vars_r, vars_t, tiles, t_tiles, chunk)
             canvas_r = stitch(labels_r)
             canvas_t = stitch(labels_t)
 
@@ -939,9 +1004,6 @@ class SegmentationModel:
         jj, ii = np.meshgrid(np.arange(ny), np.arange(nx), indexing="ij")
         y0 = jj.ravel() * sh
         x0 = ii.ravel() * sw
-        module_r = self._module
-        module_t = other._module
-        mesh = self.mesh
 
         def stitch(labels):
             labels = labels.reshape(n_pad, mh, mw)[:total]
@@ -980,37 +1042,8 @@ class SegmentationModel:
                 t_tiles = jnp.concatenate(
                     [t_tiles, jnp.zeros((n_pad - total,), t_tiles.dtype)])
 
-            def fwd_region(batch, tb):
-                # otsu_copy semantics per page (main.py:191-193): all 3
-                # channels get channel 0's binarization at that page's
-                # threshold
-                ch0 = jnp.where(
-                    batch[..., 0].astype(jnp.int32)
-                    > tb[:, None, None].astype(jnp.int32),
-                    jnp.float32(1.0), jnp.float32(0.0))
-                x = jnp.repeat(ch0[..., None], 3, axis=-1)
-                logits = module_r.apply(vars_r, x)
-                return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
-
-            def fwd_textline(batch):
-                x = batch.astype(jnp.float32) / 255.0
-                logits = module_t.apply(vars_t, x)
-                return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
-
-            if mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec
-                tiles = jax.lax.with_sharding_constraint(
-                    tiles, NamedSharding(
-                        mesh, PartitionSpec("data", None, None, None)))
-                labels_r = fwd_region(tiles, t_tiles)
-                labels_t = fwd_textline(tiles)
-            else:
-                chunked = tiles.reshape(n_pad // chunk, chunk, mh, mw, 3)
-                t_chunked = t_tiles.reshape(n_pad // chunk, chunk)
-                labels_r = jax.lax.map(
-                    lambda bt: fwd_region(bt[0], bt[1]),
-                    (chunked, t_chunked))
-                labels_t = jax.lax.map(fwd_textline, chunked)
+            labels_r, labels_t = self._fused_forward_pair(
+                other, vars_r, vars_t, tiles, t_tiles, chunk)
             canvas_r = stitch(labels_r)                       # (k, H, W)
             canvas_t = stitch(labels_t)
 
@@ -1062,9 +1095,6 @@ class SegmentationModel:
         jj, ii = np.meshgrid(np.arange(ny), np.arange(nx), indexing="ij")
         y0 = np.concatenate([(jj.ravel() * sh), np.zeros(n_pad - n, np.int64)])
         x0 = np.concatenate([(ii.ravel() * sw), np.zeros(n_pad - n, np.int64)])
-        module_r = self._module
-        module_t = other._module
-        mesh = self.mesh
 
         def stitch(labels):
             labels = labels.reshape(n_pad, mh, mw)[:n]
@@ -1090,34 +1120,9 @@ class SegmentationModel:
 
             tiles = jax.vmap(get_tile)(y0a, x0a)
 
-            def fwd_with(module, variables, pre_binarize):
-                def fwd(batch):
-                    if pre_binarize:
-                        # otsu_copy semantics: all 3 channels get channel
-                        # 0's binarization (main.py:191-193)
-                        ch0 = jnp.where(
-                            batch[..., 0].astype(jnp.int32) > t,
-                            jnp.float32(1.0), jnp.float32(0.0))
-                        x = jnp.repeat(ch0[..., None], 3, axis=-1)
-                    else:
-                        x = batch.astype(jnp.float32) / 255.0
-                    logits = module.apply(variables, x)
-                    return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
-                return fwd
-
-            if mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec
-                tiles = jax.lax.with_sharding_constraint(
-                    tiles, NamedSharding(
-                        mesh, PartitionSpec("data", None, None, None)))
-                labels_r = fwd_with(module_r, vars_r, True)(tiles)
-                labels_t = fwd_with(module_t, vars_t, False)(tiles)
-            else:
-                chunked = tiles.reshape(n_pad // chunk, chunk, mh, mw, 3)
-                labels_r = jax.lax.map(fwd_with(module_r, vars_r, True),
-                                       chunked)
-                labels_t = jax.lax.map(fwd_with(module_t, vars_t, False),
-                                       chunked)
+            t_tiles = jnp.full((n_pad,), t)
+            labels_r, labels_t = self._fused_forward_pair(
+                other, vars_r, vars_t, tiles, t_tiles, chunk)
             canvas_r = stitch(labels_r)
             canvas_t = stitch(labels_t)
             inside_c = ((jnp.arange(ny * sh, dtype=jnp.int32)[:, None]
@@ -1172,29 +1177,68 @@ class ModelBundle:
         self.region = region
         self.textline = textline
 
+    @property
+    def is_dual_head(self) -> bool:
+        """True when the region and textline roles are served by one
+        dual-head model (region is textline, spec.heads set)."""
+        return (self.region is self.textline
+                and bool(self.region.spec.heads))
+
     @staticmethod
     def from_dir(model_dir: str, runtime: RuntimeConfig | None = None,
                  model_names=None, mesh=None) -> "ModelBundle":
+        """Load a bundle from `model_dir`. A dual-head checkpoint
+        (names.dualhead), when present, serves both the region and
+        textline roles; otherwise the two classic checkpoints load
+        separately (the upstream three-model layout, main.py:58-60)."""
+        import os
+
         from sbb_textline_detection_tpu.core.config import ModelNames
         from sbb_textline_detection_tpu.models import checkpoint
 
         names = model_names or ModelNames()
         models = {}
-        for role in ("page", "region", "textline"):
+        dual_name = getattr(names, "dualhead", None)
+        dual_path = (checkpoint.checkpoint_path(model_dir, dual_name)
+                     if dual_name and os.path.exists(
+                         checkpoint.npz_path(model_dir, dual_name))
+                     else None)
+        roles = ["page"] if dual_path else ["page", "region", "textline"]
+        for role in roles:
             path = checkpoint.checkpoint_path(model_dir, getattr(names, role))
             spec, variables = checkpoint.load(path)
             models[role] = SegmentationModel(spec, variables, runtime,
                                              mesh=mesh)
+        if dual_path:
+            spec, variables = checkpoint.load(dual_path)
+            if not spec.heads:
+                raise ValueError(
+                    f"checkpoint {dual_path} is named as the dual-head "
+                    "model but its spec carries no head split")
+            dual = SegmentationModel(spec, variables, runtime, mesh=mesh)
+            models["region"] = models["textline"] = dual
         return ModelBundle(**models)
 
     @staticmethod
     def random_init(runtime: RuntimeConfig | None = None, seed: int = 0,
-                    specs=None, mesh=None) -> "ModelBundle":
-        """Randomly initialized bundle (tests / benchmarks / smoke runs)."""
-        specs = specs or registry.DEFAULT_SPECS
+                    specs=None, mesh=None,
+                    dual_head: bool = False) -> "ModelBundle":
+        """Randomly initialized bundle (tests / benchmarks / smoke runs).
+        With `dual_head`, one DUALHEAD_SPEC model serves the region and
+        textline roles."""
+        specs = dict(specs or registry.DEFAULT_SPECS)
+        if dual_head:
+            specs.pop("region", None)
+            specs.pop("textline", None)
         models = {
             role: SegmentationModel(spec, registry.init_variables(spec, seed),
                                     runtime, mesh=mesh)
             for role, spec in specs.items()
         }
+        if dual_head:
+            dual = SegmentationModel(
+                registry.DUALHEAD_SPEC,
+                registry.init_variables(registry.DUALHEAD_SPEC, seed),
+                runtime, mesh=mesh)
+            models["region"] = models["textline"] = dual
         return ModelBundle(**models)

@@ -21,7 +21,8 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 
 @click.command()
-@click.option("--role", type=click.Choice(["page", "region", "textline"]),
+@click.option("--role",
+              type=click.Choice(["page", "region", "textline", "dualhead"]),
               required=True)
 @click.option("--out", "-o", required=True, type=click.Path(file_okay=False),
               help="output checkpoint directory")
@@ -54,9 +55,14 @@ def main(role, out, images, labels, steps, batch, lr, seed,
     from sbb_textline_detection_tpu.training import data as data_mod
     from sbb_textline_detection_tpu.training import train
 
-    spec = registry.DEFAULT_SPECS[role]
+    spec = (registry.DUALHEAD_SPEC if role == "dualhead"
+            else registry.DEFAULT_SPECS[role])
     if (images is None) != (labels is None):
         click.echo("--images and --labels must be given together", err=True)
+        sys.exit(2)
+    if images and role == "dualhead":
+        click.echo("dualhead training uses the joint synthetic task; "
+                   "labeled-crop pairs carry a single label plane", err=True)
         sys.exit(2)
     if images:
         pairs = data_mod.list_pairs(images, labels)

@@ -55,10 +55,20 @@ def make_train_step(spec: ModelSpec,
     shardings the caller chose."""
     module = registry.build_module(spec)
     cw = None if class_weights is None else jnp.asarray(class_weights)
+    heads = tuple(spec.heads)
 
     def step(variables, opt_state, images, labels):
         def loss_fn(v):
             logits = module.apply(v, images)
+            if heads:
+                # dual-head: labels (N,H,W,len(heads)); summed per-head CE
+                # over the logit slices (registry.ModelSpec.heads)
+                total, off = 0.0, 0
+                for hi, width in enumerate(heads):
+                    total = total + cross_entropy_loss(
+                        logits[..., off:off + width], labels[..., hi], cw)
+                    off += width
+                return total
             return cross_entropy_loss(logits, labels, cw)
 
         loss, grads = jax.value_and_grad(loss_fn)(variables)

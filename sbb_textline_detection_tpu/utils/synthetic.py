@@ -391,5 +391,47 @@ def page_batch(rng: np.random.Generator, n: int, h: int, w: int
     return imgs, labels
 
 
+def dualhead_batch(rng: np.random.Generator, n: int, h: int, w: int
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """Joint region+textline task for the dual-head flagship
+    (registry.DUALHEAD_SPEC). Input channels match the serving path
+    (runner._fused_forward_pair): [raw01, otsu-binarized]; labels are
+    (n, h, w, 2) int32 [region block, textline stroke]. Carries every
+    augmentation of the two single-task batches — blanks, crooked-scan
+    rotation (both label planes rotate together), edge cuts, and the
+    _augment_patch degradations — so the shared trunk sees the union of
+    both serve-time distributions."""
+    imgs = np.zeros((n, h, w, 2), np.float32)
+    labels = np.zeros((n, h, w, 2), np.int32)
+    for i in range(n):
+        if rng.uniform() < 0.12:
+            gray = _blank_patch(rng, h, w)
+            # fixed threshold, NOT per-patch Otsu (see region_batch: the
+            # serve-time Otsu scope is the whole page crop)
+            imgs[i, :, :, 0] = gray
+            imgs[i, :, :, 1] = (gray > 0.5).astype(np.float32)
+            continue
+        img, stroke, block = _stripes_patch(rng, h, w)
+        gray = img[:, :, 0]
+        if rng.uniform() < 0.5:
+            from sbb_textline_detection_tpu.ops import rotate as rotate_ops
+            ang = float(rng.uniform(-8.0, 8.0))
+            gray = rotate_ops.rotate_image_host(
+                gray.astype(np.float64), ang, order=1).astype(np.float32)
+            stroke = (rotate_ops.rotate_image_host(
+                stroke.astype(np.float64), ang, order=0) > 0.5
+                ).astype(np.uint8)
+            block = (rotate_ops.rotate_image_host(
+                block.astype(np.float64), ang, order=0) > 0.5
+                ).astype(np.uint8)
+        if rng.uniform() < 0.3:
+            gray = _edge_cut(rng, gray.copy(), stroke, block)
+        imgs[i, :, :, 0] = gray
+        imgs[i, :, :, 1] = _otsu_binarize01(gray)
+        labels[i, :, :, 0] = block
+        labels[i, :, :, 1] = stroke
+    return imgs, labels
+
+
 BATCH_FNS = {"page": page_batch, "region": region_batch,
-             "textline": textline_batch}
+             "textline": textline_batch, "dualhead": dualhead_batch}

@@ -89,6 +89,50 @@ def test_multi_page_fused_sharded_matches_unsharded(mesh8):
         np.testing.assert_array_equal(got[i][1], want[i][1])
 
 
+def test_dualhead_fused_sharded_matches_unsharded(mesh8):
+    """The dual-head branch of the fused forward (one shared-trunk pass
+    serving both roles) under the mesh's data axis must match the
+    unsharded dual-head program bit for bit — and a pointwise stub pins
+    the 2-channel input wiring: head 0 reads the raw01 channel, head 1
+    the page-Otsu binarized channel."""
+    import jax.numpy as jnp
+
+    from sbb_textline_detection_tpu.ops import threshold
+
+    class _DualStub:
+        def apply(self, variables, x):
+            raw = (x[..., 0] > 0.5).astype(jnp.float32)
+            binz = (x[..., 1] > 0.5).astype(jnp.float32)
+            return jnp.stack([1.0 - raw, raw, jnp.zeros_like(raw),
+                              1.0 - binz, binz], axis=-1)
+
+    spec = registry.ModelSpec("tiny_dual", "tpu_unet", 64, 64, 5,
+                              widths=(8, 16), heads=(3, 2), in_channels=2)
+    variables = registry.init_variables(spec, seed=0)
+    rt = RuntimeConfig(batch_buckets=(2, 4, 8))
+    rng = np.random.default_rng(21)
+    pages = [np.where(rng.uniform(size=(120, 100, 3)) < 0.4, 30, 220
+                      ).astype(np.uint8) for _ in range(2)]
+    outs = []
+    for mesh in (None, mesh8):
+        m = runner.SegmentationModel(spec, variables, rt, mesh=mesh)
+        m._module = _DualStub()
+        m._tiled_cache.clear()
+        outs.append(m.predict_dual_tiled_multi(m, pages, mask_class=1))
+    want, got = outs
+    for i, page in enumerate(pages):
+        np.testing.assert_array_equal(got[i][0], want[i][0])
+        np.testing.assert_array_equal(got[i][1], want[i][1])
+        # stub semantics: region head = raw01 threshold, textline head =
+        # page-scope Otsu binarization of channel 0
+        np.testing.assert_array_equal(
+            want[i][0], (page[:, :, 0] > 127.5).astype(np.uint8))
+        t = threshold.otsu_threshold_host(page[:, :, 0])
+        np.testing.assert_array_equal(
+            want[i][1], (page[:, :, 0].astype(np.int32) > int(t)
+                         ).astype(np.uint8))
+
+
 def test_mesh_auto_group_size(mesh8):
     """runtime.mesh_auto_group: process_batch's group size auto-raises to
     the mesh data-axis size under a multi-chip mesh, stays at the
