@@ -528,10 +528,10 @@ class DeskewEngine:
         """AOT-compile (once per shape) the one-dispatch resident program:
         crops -> erode x2 -> canvases -> coarse+vertical radon -> scores ->
         slope decision -> OPEN+CLOSE -> rotated-projection profiles.
-        `B` is the slot count (default region_batch); remainder groups use
-        smaller power-of-two programs — exec scales ~linearly with slots
-        (~12 ms/slot measured), so padding a 1-region tail to 8 slots
-        wastes ~80 ms."""
+        `B` is the slot count (default region_batch); 1-2 region tails use
+        a 2-slot program — exec scales ~linearly with slots (~12 ms/slot
+        measured), so padding a small tail to 8 slots wastes ~70 ms. See
+        resident_dispatch for why the shape grid stays this coarse."""
         B = B or self.region_batch
         cfg = self.cfg
         ac_n = self._coarse.shape[0]
@@ -693,24 +693,30 @@ class DeskewEngine:
                     f"region {h}x{w} exceeds the resident deskew buffer "
                     f"{capH}x{capW}; host path required")
         s = self._bucket_for_sizes([(b[3], b[2]) for b in boxes_xywh])
-        buckets = self._batch_buckets()
         angles = np.concatenate([self._coarse, self._vertical])
+
+        # The shape space is deliberately TINY: {2, region_batch} slots x
+        # {1024, capH} buffer heights x one width — at most 4 compiled
+        # programs per (mask, s), all loadable in parallel at warm_up.
+        # Finer-grained right-sizing (256-px buffer steps, all power-of-two
+        # slot counts) measured faster per dispatch but mints a fresh
+        # program shape for nearly every page layout, and EVERY shape pays
+        # a 5-30 s first-dispatch load per process (plus a 10-30 s compile
+        # on cache miss) — a timeline probe showed 10-22 s/page of
+        # host_phase_dispatch on varied layouts. Slot exec is ~12 ms/slot
+        # and a 1024-vs-2816 buffer saves ~40 ms/group, so the two-point
+        # grids capture most of the win at bounded shape count.
+        bufH_small = min(1024, capH)
 
         pending = []
         start = 0
         while start < n:
-            # greedy split: full region_batch groups, then the remainder in
-            # the smallest power-of-two bucket that holds it (slot exec is
-            # the dominant cost; see _aot_resident)
-            B = next((bb for bb in buckets if bb >= n - start), buckets[-1])
+            B = self.region_batch if n - start > 2 else min(
+                2, self.region_batch)
             group = boxes_xywh[start:start + B]
-            # crop buffer sized to THIS group's largest region (rounded up
-            # to 256), not the whole mask: erode, OPEN/CLOSE, and the
-            # rotated projections all run over B x bufH x bufW, and a
-            # paragraph-sized region in a 2816-tall buffer wastes ~40 ms
-            # per group (measured buf 1024 vs 2816)
-            bufH = min(-(-max(b[3] for b in group) // 256) * 256, capH)
-            bufW = min(-(-max(b[2] for b in group) // 256) * 256, capW)
+            bufH = (bufH_small if max(b[3] for b in group) <= bufH_small
+                    else capH)
+            bufW = capW
             boxes_arr = np.zeros((B, 4), np.int32)
             cy = np.full((B, s), -1, np.int32)
             cx = np.full((B, s), -1, np.int32)

@@ -629,15 +629,17 @@ class TextlineDetector:
                                   nx * (mw - 2 * margin)), jnp.uint8)
                 side = max(8, int(s / self.deskew.cfg.pad_factor))
                 side = min(side, mask.shape[0], mask.shape[1])
-                # every power-of-two group bucket is a distinct compiled
-                # program (resident_dispatch's greedy split); warm each in
-                # its own thread so the 5-30 s program loads overlap
+                # the resident dispatch uses exactly two slot counts
+                # (resident_dispatch: tail<=2 -> 2 slots, else
+                # region_batch); warm each program in its own thread so
+                # the 5-30 s loads overlap
                 def warm_bucket(b):
                     self.deskew.slopes_and_profiles_resident(
                         mask, [[0, 0, side, side]] * b)
                 bthreads = [threading.Thread(target=warm_bucket, args=(b,),
                                              daemon=True)
-                            for b in self.deskew._batch_buckets()]
+                            for b in (min(2, self.deskew.region_batch),
+                                      self.deskew.region_batch)]
                 for t in bthreads:
                     t.start()
                 for t in bthreads:
