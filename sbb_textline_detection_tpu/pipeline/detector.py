@@ -630,16 +630,20 @@ class TextlineDetector:
                 side = max(8, int(s / self.deskew.cfg.pad_factor))
                 side = min(side, mask.shape[0], mask.shape[1])
                 # the resident dispatch uses exactly two slot counts
-                # (resident_dispatch: tail<=2 -> 2 slots, else
-                # region_batch); warm each program in its own thread so
-                # the 5-30 s loads overlap
-                def warm_bucket(b):
+                # (tail<=2 -> 2 slots, else region_batch) and two crop
+                # buffer heights (<=1024 -> 1024, else cap): warm all four
+                # programs in parallel threads so the 5-30 s loads overlap
+                # (a tall box keeps s at the 512 cap but forces bufH=cap)
+                tall = min(1200, mask.shape[0])
+
+                def warm_bucket(b, box_h):
                     self.deskew.slopes_and_profiles_resident(
-                        mask, [[0, 0, side, side]] * b)
-                bthreads = [threading.Thread(target=warm_bucket, args=(b,),
-                                             daemon=True)
+                        mask, [[0, 0, side, box_h]] * b)
+                bthreads = [threading.Thread(target=warm_bucket,
+                                             args=(b, bh), daemon=True)
                             for b in (min(2, self.deskew.region_batch),
-                                      self.deskew.region_batch)]
+                                      self.deskew.region_batch)
+                            for bh in (side, tall)]
                 for t in bthreads:
                     t.start()
                 for t in bthreads:
