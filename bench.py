@@ -81,8 +81,11 @@ def ensure_bench_checkpoints(ckpt_dir: str, steps: int, seed: int = 0) -> str:
             continue
         spec = (registry.DUALHEAD_SPEC if role == "dualhead"
                 else registry.DEFAULT_SPECS[role])
+        # the joint task optimizes two objectives through one trunk;
+        # double its schedule (degraded-page region precision gates)
+        role_steps = steps * 2 if role == "dualhead" else steps
         _log(f"[bench] training {role} checkpoint "
-             f"({steps} steps) -> {path}")
+             f"({role_steps} steps) -> {path}")
         trainer = train.Trainer(spec, learning_rate=3e-4, seed=seed)
         rng = np.random.default_rng(seed)
         batch_fn = synthetic.BATCH_FNS[role]
@@ -94,7 +97,7 @@ def ensure_bench_checkpoints(ckpt_dir: str, steps: int, seed: int = 0) -> str:
                 yield imgs, labels
 
         t0 = time.time()
-        losses = trainer.train(data_iter(), steps)
+        losses = trainer.train(data_iter(), role_steps)
         jax.block_until_ready(trainer.variables)
         _log(f"[bench] {role}: loss {losses[0]:.4f} -> {losses[-1]:.4f} "
              f"({time.time() - t0:.1f}s)")

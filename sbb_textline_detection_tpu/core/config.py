@@ -175,6 +175,13 @@ class RuntimeConfig:
     # (pipeline/deskew.py resident section; DEVIATIONS #10). Falls back to
     # the host path on any failure or when a region exceeds the buffer.
     resident_deskew: bool = True
+    # With resident_deskew, don't ship the textline canvas to host at all:
+    # the fused program returns the crop-masked ROW PROJECTION (all the
+    # reading-order stage consumes, main.py:1809-1822) plus the resident
+    # device handle, halving the big packed d2h transfer (~0.8 MB at
+    # ~20 MB/s). Fallback paths fetch the full canvas lazily from the
+    # handle when they need it (resident-deskew failure).
+    textline_projection: bool = True
     # Static full-resolution crop buffer cap for the resident deskew
     # program (pages whose region crops exceed it use the host path).
     deskew_buf_max: int = 2816

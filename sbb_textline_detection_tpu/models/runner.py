@@ -509,7 +509,8 @@ class SegmentationModel:
                            morph: Optional[MorphSpec] = None,
                            mask_class: Optional[int] = None,
                            post_morph: Optional[MorphSpec] = None,
-                           return_device_textline: bool = False):
+                           return_device_textline: bool = False,
+                           textline_projection: bool = False):
         """Run BOTH segmentation passes of the pipeline's crop in ONE
         dispatch: `self` (the region model) sees the device-Otsu-binarized
         tiles (reference otsu_copy + patch predict, main.py:439-454), with
@@ -519,9 +520,20 @@ class SegmentationModel:
         canvases return as one 2-bit-packed buffer — on this serving
         environment's ~20 MB/s device->host path with ~70 ms per-transfer
         latency, halving pads/uploads/dispatches/transfers is worth
-        ~1 s/page. Returns (region_mask_01, textline_labels)."""
+        ~1 s/page. Returns (region_mask_01, textline_labels).
+
+        `textline_projection` (requires return_device_textline): the
+        textline canvas does NOT cross to host at all — only the region
+        canvas is packed, and the host gets the crop-masked row projection
+        (int32, what reading order consumes, main.py:1809-1822) plus the
+        resident device canvas. Halves the big d2h transfer; the full
+        mask stays fetchable from the device handle for fallbacks.
+        Returns (region_mask_01, row_projection[:h], textline_dev)."""
         if self.input_hw != other.input_hw:
             raise ValueError("dual tiled predict needs identical geometry")
+        if textline_projection and not return_device_textline:
+            raise ValueError("textline_projection requires "
+                             "return_device_textline")
         h, w = img_u8.shape[:2]
         mh, mw = self.input_hw
         margin = int(margin_ratio * mw)
@@ -536,17 +548,26 @@ class SegmentationModel:
                  and self.textline_n_classes(other) <= 2)
         compiled, flops = self._dual_tiled_fn(
             other, ny, nx, margin, tuple(morph or ()), mask_class,
-            tuple(post_morph or ()), img, bits1, return_device_textline)
+            tuple(post_morph or ()), img, bits1, return_device_textline,
+            textline_projection)
         ohw = np.asarray([h, w], np.int32)
         with stagetime.device_section(flops):
             out = compiled(self.variables, other.variables,
                            jnp.asarray(img), ohw)
-            if return_device_textline:
+            if textline_projection:
+                packed_dev, proj_dev, textline_dev = out
+                packed = np.asarray(packed_dev)
+                proj = np.asarray(proj_dev)
+            elif return_device_textline:
                 packed_dev, textline_dev = out
+                packed = np.asarray(packed_dev)
             else:
                 packed_dev, textline_dev = out, None
-            packed = np.asarray(packed_dev)
+                packed = np.asarray(packed_dev)
         unpack = pack_ops.unpack1_host if bits1 else pack_ops.unpack2_host
+        if textline_projection:
+            region = unpack(packed, (ny * sh, nx * sw))
+            return region[:h, :w], proj[:h], textline_dev
         both = unpack(packed, (2 * ny * sh, nx * sw))
         if return_device_textline:
             return both[:h, :w], both[ny * sh:ny * sh + h, :w], textline_dev
@@ -575,7 +596,8 @@ class SegmentationModel:
                                  morph: Optional[MorphSpec] = None,
                                  mask_class: Optional[int] = None,
                                  post_morph: Optional[MorphSpec] = None,
-                                 return_device_textline: bool = False):
+                                 return_device_textline: bool = False,
+                                 textline_projection: bool = False):
         """Multi-page fused segmentation: fold K pages' tiles into ONE
         device dispatch (pages x tiles as the forward batch dim, sharded
         over the mesh's data axis when present — the data-parallel-pages
@@ -594,7 +616,11 @@ class SegmentationModel:
         if len(imgs) == 1:
             return [self.predict_dual_tiled(other, imgs[0], margin_ratio,
                                             morph, mask_class, post_morph,
-                                            return_device_textline)]
+                                            return_device_textline,
+                                            textline_projection)]
+        if textline_projection and not return_device_textline:
+            raise ValueError("textline_projection requires "
+                             "return_device_textline")
         k = len(imgs)
         mh, mw = self.input_hw
         margin = int(margin_ratio * mw)
@@ -615,24 +641,32 @@ class SegmentationModel:
         compiled, flops = self._dual_tiled_multi_fn(
             other, k, ny, nx, margin, tuple(morph or ()), mask_class,
             tuple(post_morph or ()), stacked, bits1,
-            return_device_textline)
+            return_device_textline, textline_projection)
         ohw = np.asarray([[im.shape[0], im.shape[1]] for im in imgs],
                          np.int32)
+        projs = None
         with stagetime.device_section(flops):
             res = compiled(self.variables, other.variables,
                            jnp.asarray(stacked), ohw)
-            if return_device_textline:
+            if textline_projection:
+                packed_dev, projs_dev, textline_stack = res
+                projs = np.asarray(projs_dev)
+            elif return_device_textline:
                 packed_dev, textline_stack = res
             else:
                 packed_dev, textline_stack = res, None
             packed = np.asarray(packed_dev)
         big_h = ny * sh
         unpack = pack_ops.unpack1_host if bits1 else pack_ops.unpack2_host
-        both = unpack(packed, (2 * k * big_h, nx * sw))
+        rows = k * big_h if textline_projection else 2 * k * big_h
+        both = unpack(packed, (rows, nx * sw))
         out = []
         for i, im in enumerate(imgs):
             h, w = im.shape[:2]
             region = both[i * big_h:i * big_h + h, :w]
+            if textline_projection:
+                out.append((region, projs[i, :h], textline_stack[i]))
+                continue
             textline = both[(k + i) * big_h:(k + i) * big_h + h, :w]
             if return_device_textline:
                 out.append((region, textline, textline_stack[i]))
@@ -685,7 +719,8 @@ class SegmentationModel:
                                         mask_class: Optional[int] = None,
                                         post_morph: Optional[MorphSpec] = None,
                                         return_device_textline: bool = False,
-                                        raw_hws=None):
+                                        raw_hws=None,
+                                        textline_projection: bool = False):
         """predict_dual_tiled_resident reading from RESIDENT *raw* pages
         (upload_raw): the program's first step gathers the margin-padded
         working canvas out of each raw page through per-axis nearest index
@@ -734,31 +769,24 @@ class SegmentationModel:
         stacked = jnp.stack(raws)
         bits1 = (mask_class is not None
                  and self.textline_n_classes(other) <= 2)
+        if textline_projection and not return_device_textline:
+            raise ValueError("textline_projection requires "
+                             "return_device_textline")
         compiled, flops = self._dual_tiled_resident_fn(
             other, k, ny, nx, margin, (k, ch, cw, 3),
             tuple(morph or ()), mask_class, tuple(post_morph or ()), bits1,
-            return_device_textline, raw_shape=tuple(stacked.shape))
+            return_device_textline, raw_shape=tuple(stacked.shape),
+            proj=textline_projection)
         with stagetime.device_section(flops):
             res = compiled(self.variables, other.variables, stacked, boxes,
                            jnp.asarray(iy_all), jnp.asarray(ix_all))
-            if return_device_textline:
-                packed_dev, textline_stack = res
-            else:
-                packed_dev, textline_stack = res, None
-            packed = np.asarray(packed_dev)
-        big_h = ny * sh
-        unpack = pack_ops.unpack1_host if bits1 else pack_ops.unpack2_host
-        both = unpack(packed, (2 * k * big_h, nx * sw))
-        out = []
-        for i, b in enumerate(boxes):
-            h, w = int(b[2]), int(b[3])
-            region = both[i * big_h:i * big_h + h, :w]
-            textline = both[(k + i) * big_h:(k + i) * big_h + h, :w]
-            if return_device_textline:
-                out.append((region, textline, textline_stack[i]))
-            else:
-                out.append((region, textline))
-        return out
+            res = self._split_dual_outputs(res, return_device_textline,
+                                           textline_projection)
+            packed, projs, textline_stack = res
+        return self._unpack_dual_pages(packed, projs, textline_stack,
+                                       boxes, ny, nx, sh, sw, bits1,
+                                       return_device_textline,
+                                       textline_projection)
 
     def upload_canvas(self, scaled_img: np.ndarray,
                       margin_ratio: float = 0.1):
@@ -781,7 +809,8 @@ class SegmentationModel:
                                     morph: Optional[MorphSpec] = None,
                                     mask_class: Optional[int] = None,
                                     post_morph: Optional[MorphSpec] = None,
-                                    return_device_textline: bool = False):
+                                    return_device_textline: bool = False,
+                                    textline_projection: bool = False):
         """Fused dual segmentation reading the page crops out of RESIDENT
         margin-padded canvases (upload_canvas) with runtime box offsets —
         no second full-page upload on the critical path. `canvases`: list
@@ -812,26 +841,55 @@ class SegmentationModel:
         stacked = jnp.stack(canvases)
         bits1 = (mask_class is not None
                  and self.textline_n_classes(other) <= 2)
+        if textline_projection and not return_device_textline:
+            raise ValueError("textline_projection requires "
+                             "return_device_textline")
         compiled, flops = self._dual_tiled_resident_fn(
             other, k, ny, nx, margin, tuple(stacked.shape),
             tuple(morph or ()), mask_class, tuple(post_morph or ()), bits1,
-            return_device_textline)
+            return_device_textline, proj=textline_projection)
         with stagetime.device_section(flops):
             res = compiled(self.variables, other.variables, stacked, boxes)
-            if return_device_textline:
-                packed_dev, textline_stack = res
-            else:
-                packed_dev, textline_stack = res, None
-            packed = np.asarray(packed_dev)
+            res = self._split_dual_outputs(res, return_device_textline,
+                                           textline_projection)
+            packed, projs, textline_stack = res
+        return self._unpack_dual_pages(packed, projs, textline_stack,
+                                       boxes, ny, nx, sh, sw, bits1,
+                                       return_device_textline,
+                                       textline_projection)
+
+    @staticmethod
+    def _split_dual_outputs(res, keep_dev: bool, proj: bool):
+        """(packed_np, projs_np, textline_stack) from a fused program's
+        raw outputs; the packed (and projection) fetches block here."""
+        if proj:
+            packed_dev, projs_dev, textline_stack = res
+            return np.asarray(packed_dev), np.asarray(projs_dev), \
+                textline_stack
+        if keep_dev:
+            packed_dev, textline_stack = res
+            return np.asarray(packed_dev), None, textline_stack
+        return np.asarray(res), None, None
+
+    @staticmethod
+    def _unpack_dual_pages(packed, projs, textline_stack, boxes, ny, nx,
+                           sh, sw, bits1, keep_dev: bool, proj: bool):
+        """Per-page (region, textline-or-projection[, device handle])
+        tuples from the packed transfer of a K-page fused program."""
+        k = len(boxes)
         big_h = ny * sh
         unpack = pack_ops.unpack1_host if bits1 else pack_ops.unpack2_host
-        both = unpack(packed, (2 * k * big_h, nx * sw))
+        rows = k * big_h if proj else 2 * k * big_h
+        both = unpack(packed, (rows, nx * sw))
         out = []
         for i, b in enumerate(boxes):
             h, w = int(b[2]), int(b[3])
             region = both[i * big_h:i * big_h + h, :w]
+            if proj:
+                out.append((region, projs[i, :h], textline_stack[i]))
+                continue
             textline = both[(k + i) * big_h:(k + i) * big_h + h, :w]
-            if return_device_textline:
+            if keep_dev:
                 out.append((region, textline, textline_stack[i]))
             else:
                 out.append((region, textline))
@@ -843,13 +901,16 @@ class SegmentationModel:
                                 mask_class: Optional[int],
                                 post_morph: MorphSpec, bits1: bool,
                                 keep_dev: bool = False,
-                                raw_shape=None):
+                                raw_shape=None, proj: bool = False):
         """`stacked_shape` is the (k, ch, cw, 3) canvas shape. With
         `raw_shape` set, the program's inputs are raw pages of that shape
         plus per-axis nearest index maps, and the canvas is gathered on
-        device (the raw-upload path)."""
+        device (the raw-upload path). With `proj`, only the region canvas
+        is packed and the textline canvas crosses as its crop-masked row
+        projection (+ the resident device handle)."""
         key = ("dual_res", id(other), k, ny, nx, margin, stacked_shape,
-               morph, mask_class, post_morph, bits1, keep_dev, raw_shape)
+               morph, mask_class, post_morph, bits1, keep_dev, raw_shape,
+               proj)
         entry = self._tiled_cache.get(key)
         if entry is not None:
             return entry
@@ -934,6 +995,13 @@ class SegmentationModel:
             canvas_r = jax.vmap(shape_page)(canvas_r, boxes)
             big_h, big_w = ny * sh, nx * sw
             pack = pack_ops.pack1_device if bits1 else pack_ops.pack2_device
+            if proj:
+                cols = jnp.arange(big_w, dtype=jnp.int32)[None, :]
+                rowsum = jax.vmap(lambda c, box: jnp.sum(
+                    jnp.where(cols < box[3], c, jnp.uint8(0)).astype(
+                        jnp.int32), axis=1))(canvas_t, boxes)
+                return pack(canvas_r.reshape(k * big_h, big_w)), rowsum, \
+                    canvas_t
             packed = pack(jnp.concatenate(
                 [canvas_r.reshape(k * big_h, big_w),
                  canvas_t.reshape(k * big_h, big_w)], axis=0))
@@ -986,9 +1054,10 @@ class SegmentationModel:
                              ny: int, nx: int, margin: int, morph: MorphSpec,
                              mask_class: Optional[int],
                              post_morph: MorphSpec, example_imgs: np.ndarray,
-                             bits1: bool = False, keep_dev: bool = False):
+                             bits1: bool = False, keep_dev: bool = False,
+                             proj: bool = False):
         key = ("dual_multi", id(other), k, ny, nx, margin, morph, mask_class,
-               post_morph, bits1, keep_dev)
+               post_morph, bits1, keep_dev, proj)
         entry = self._tiled_cache.get(key)
         if entry is not None:
             return entry
@@ -1061,6 +1130,13 @@ class SegmentationModel:
             canvas_r = jax.vmap(shape_page)(canvas_r, ohw)
             big_h, big_w = ny * sh, nx * sw
             pack = pack_ops.pack1_device if bits1 else pack_ops.pack2_device
+            if proj:
+                cols = jnp.arange(big_w, dtype=jnp.int32)[None, :]
+                rowsum = jax.vmap(lambda c, hw: jnp.sum(
+                    jnp.where(cols < hw[1], c, jnp.uint8(0)).astype(
+                        jnp.int32), axis=1))(canvas_t, ohw)
+                return pack(canvas_r.reshape(k * big_h, big_w)), rowsum, \
+                    canvas_t
             packed = pack(jnp.concatenate(
                 [canvas_r.reshape(k * big_h, big_w),
                  canvas_t.reshape(k * big_h, big_w)], axis=0))
@@ -1078,9 +1154,9 @@ class SegmentationModel:
                        margin: int, morph: MorphSpec,
                        mask_class: Optional[int], post_morph: MorphSpec,
                        example_img: np.ndarray, bits1: bool = False,
-                       keep_dev: bool = False):
+                       keep_dev: bool = False, proj: bool = False):
         key = ("dual", id(other), ny, nx, margin, morph, mask_class,
-               post_morph, bits1, keep_dev)
+               post_morph, bits1, keep_dev, proj)
         entry = self._tiled_cache.get(key)
         if entry is not None:
             return entry
@@ -1134,6 +1210,16 @@ class SegmentationModel:
                 canvas_r = (canvas_r == np.uint8(mask_class)).astype(jnp.uint8)
                 canvas_r = self._apply_morph(canvas_r, post_morph, inside_c)
             pack = pack_ops.pack1_device if bits1 else pack_ops.pack2_device
+            if proj:
+                # region canvas only + the crop-masked textline row
+                # projection (reading order's input, main.py:1809-1822):
+                # the big textline half never crosses the ~20 MB/s d2h path
+                cols_in = (jnp.arange(nx * sw, dtype=jnp.int32)[None, :]
+                           < ohw[1])
+                rowsum = jnp.sum(
+                    jnp.where(cols_in, canvas_t, jnp.uint8(0)).astype(
+                        jnp.int32), axis=1)
+                return pack(canvas_r), rowsum, canvas_t
             packed = pack(jnp.concatenate([canvas_r, canvas_t], axis=0))
             if keep_dev:
                 # second output stays in HBM (no transfer): the resident

@@ -90,6 +90,34 @@ class _DeviceState:
     # On-device textline canvas (the fused program's HBM output) for the
     # resident deskew path; None when a fallback path produced the masks.
     textline_dev: Optional[object] = None
+    # Crop-masked textline row projection (runtime.textline_projection):
+    # set when the host textline canvas was NOT transferred — reading
+    # order consumes this directly, and fallbacks fetch the full canvas
+    # lazily from textline_dev.
+    textline_proj: Optional[np.ndarray] = None
+
+    def textline_mask_or_fetch(self) -> Optional[np.ndarray]:
+        """The host textline mask, fetching it from the device handle when
+        only the projection crossed (rare fallback paths)."""
+        if self.textline_mask is not None:
+            return self.textline_mask
+        if self.textline_dev is None:
+            return None
+        h, w = self.image_page.shape[:2]
+        return np.asarray(self.textline_dev)[:h, :w]
+
+
+def _split_fused(masks):
+    """(region_mask, textline_mask, textline_dev, textline_proj) from a
+    fused-path per-page tuple: 2-tuple = classic, 3-tuple = +device
+    handle, 3-tuple with a 1-D second element = projection mode."""
+    if len(masks) == 3:
+        region, second, dev = masks
+        if second is not None and getattr(second, "ndim", 2) == 1:
+            return region, None, dev, second
+        return region, second, dev, None
+    region, second = masks
+    return region, second, None, None
 
 
 class TextlineDetector:
@@ -171,19 +199,16 @@ class TextlineDetector:
         stagetime.reset()
         t1 = time.time()
         keep_dev = bool(cfg.runtime.resident_deskew)
+        tp = keep_dev and getattr(cfg.runtime, "textline_projection", False)
         pbox = [page_coord[0], page_coord[2], box[3], box[2]]
         res = stages.extract_regions_and_textline_resident_raw(
             [raw_dev], [pbox], [(th, tw)], self.models, cfg,
-            return_device_textline=keep_dev,
+            return_device_textline=keep_dev, textline_projection=tp,
             raw_hws=[image.shape[:2]])
         if not res:
             raise RuntimeError("bundle cannot run the raw-resident path")
-        masks = res[0]
-        if len(masks) == 3:
-            region_mask, textline_mask, textline_dev = masks
-        else:
-            region_mask, textline_mask = masks
-            textline_dev = None
+        region_mask, textline_mask, textline_dev, textline_proj = \
+            _split_fused(res[0])
         t["region_extraction_model"] = time.time() - t1
         dev["region_extraction"], f = stagetime.snapshot()
         flops += f
@@ -192,7 +217,7 @@ class TextlineDetector:
         image_page = np.empty((box[3], box[2], 0), np.uint8)  # shape-only
         return _DeviceState(image_filename, scaled, image_page, page_coord,
                             cont_page, region_mask, textline_mask, t, dev,
-                            flops, textline_dev)
+                            flops, textline_dev, textline_proj)
 
     def _device_phase_standard(self, image: np.ndarray,
                                image_filename: str = "") -> _DeviceState:
@@ -227,7 +252,9 @@ class TextlineDetector:
         region_mask = None
         textline_mask = None
         textline_dev = None
+        textline_proj = None
         keep_dev = bool(cfg.runtime.resident_deskew)
+        tp = keep_dev and getattr(cfg.runtime, "textline_projection", False)
         stagetime.reset()
         t1 = time.time()
         fused = None
@@ -237,12 +264,14 @@ class TextlineDetector:
                        image_page.shape[0], image_page.shape[1]]
                 res = stages.extract_regions_and_textline_resident(
                     [canvas], [box], self.models, cfg,
-                    return_device_textline=keep_dev)
+                    return_device_textline=keep_dev,
+                    textline_projection=tp)
                 fused = res[0] if res else None
             if fused is None:
                 fused = stages.extract_regions_and_textline(
                     image_page, self.models, cfg,
-                    return_device_textline=keep_dev)
+                    return_device_textline=keep_dev,
+                    textline_projection=tp)
         except Exception:
             LOG.warning("fused segmentation failed for %s; retrying the "
                         "separate per-model path", image_filename,
@@ -252,10 +281,8 @@ class TextlineDetector:
             # one dispatch covered both stages; attribute the cost to
             # region_extraction and the (tiny) remainder to textlines so
             # stage keys stay comparable across runs
-            if len(fused) == 3:
-                region_mask, textline_mask, textline_dev = fused
-            else:
-                region_mask, textline_mask = fused
+            region_mask, textline_mask, textline_dev, textline_proj = \
+                _split_fused(fused)
             t["region_extraction_model"] = time.time() - t1
             dev["region_extraction"], f = stagetime.snapshot()
             flops += f
@@ -351,6 +378,7 @@ class TextlineDetector:
 
         states: List[Optional[_DeviceState]] = [None] * len(pre)
         keep_dev = bool(cfg.runtime.resident_deskew)
+        tp = keep_dev and getattr(cfg.runtime, "textline_projection", False)
         for idxs in subgroups.values():
             stagetime.reset()
             t1 = time.time()
@@ -363,11 +391,13 @@ class TextlineDetector:
                              for i in idxs]
                     fused = stages.extract_regions_and_textline_resident(
                         [canvases[i] for i in idxs], boxes, self.models,
-                        cfg, return_device_textline=keep_dev)
+                        cfg, return_device_textline=keep_dev,
+                        textline_projection=tp)
                 if fused is None:
                     fused = stages.extract_regions_and_textline_multi(
                         [pre[i][2] for i in idxs], self.models, cfg,
-                        return_device_textline=keep_dev)
+                        return_device_textline=keep_dev,
+                        textline_projection=tp)
             except Exception:
                 LOG.warning("multi-page fused segmentation failed for %s; "
                             "falling back to per-page device phases",
@@ -382,11 +412,8 @@ class TextlineDetector:
             d_share /= len(idxs)
             f_share = f_group / len(idxs)
             for i, masks in zip(idxs, fused):
-                if len(masks) == 3:
-                    region_mask, textline_mask, textline_dev = masks
-                else:
-                    region_mask, textline_mask = masks
-                    textline_dev = None
+                region_mask, textline_mask, textline_dev, textline_proj = \
+                    _split_fused(masks)
                 (name, scaled, image_page, page_coord, cont_page,
                  t_page, d_page, f_page) = pre[i]
                 t = {"page_extraction": t_page,
@@ -396,7 +423,7 @@ class TextlineDetector:
                 states[i] = _DeviceState(
                     name, scaled, image_page, page_coord, cont_page,
                     region_mask, textline_mask, t, dev, f_page + f_share,
-                    textline_dev)
+                    textline_dev, textline_proj)
         return states
 
     # -- host-bound phase ------------------------------------------------------
@@ -419,7 +446,8 @@ class TextlineDetector:
             t_contours = time.time() - t1
             handle = None
             t_dispatch = d_dispatch = f_dispatch = 0.0
-            if contours and st.textline_mask is not None:
+            if contours and (st.textline_mask is not None
+                             or st.textline_dev is not None):
                 stagetime.reset()
                 t2 = time.time()
                 handle = stages.deskew_dispatch_resident(
@@ -473,7 +501,8 @@ class TextlineDetector:
                 st.timings.get("region_extraction_model", 0.0)
                 + pre_contours + time.time() - t1)
 
-            if len(contours) > 0 and st.textline_mask is None:
+            if len(contours) > 0 and st.textline_mask is None \
+                    and st.textline_dev is None:
                 contours, boxes = [], []  # degrade: no line mask, no regions
             if len(contours) > 0:
                 stagetime.reset()
@@ -481,7 +510,8 @@ class TextlineDetector:
                 slopes, textlines = stages.slopes_and_lines(
                     contours, boxes, st.textline_mask, cfg, self.deskew,
                     textline_dev=st.textline_dev,
-                    deskew_handle=pre.get("handle") if pre else None)
+                    deskew_handle=pre.get("handle") if pre else None,
+                    textline_mask_fetch=st.textline_mask_or_fetch)
                 t["deskew"] = time.time() - t3
                 dev["deskew"], f = stagetime.snapshot()
                 flops += f
@@ -491,8 +521,14 @@ class TextlineDetector:
                     flops += pre["f_dispatch"]
 
                 t4 = time.time()
-                indexes_sorted, matrix = order_mod.order_of_regions(
-                    st.textline_mask, contours, cfg.reading_order)
+                if st.textline_proj is not None:
+                    indexes_sorted, matrix = \
+                        order_mod.order_of_regions_from_projection(
+                            st.textline_proj, st.image_page.shape[0],
+                            contours, cfg.reading_order)
+                else:
+                    indexes_sorted, matrix = order_mod.order_of_regions(
+                        st.textline_mask, contours, cfg.reading_order)
                 order_of_texts, id_of_texts = order_mod.order_and_id_of_texts(
                     contours, matrix, indexes_sorted)
                 t["reading_order"] = time.time() - t4

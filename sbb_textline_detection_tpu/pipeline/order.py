@@ -24,8 +24,23 @@ def order_of_regions(textline_mask: np.ndarray,
                      ) -> Tuple[List[int], np.ndarray]:
     """Returns (final_indexers_sorted, matrix_of_orders), reference layout:
     matrix columns = [index, kind(=1), cx, cy, index] (main.py:1856-1866)."""
+    return order_of_regions_from_projection(
+        textline_mask.sum(axis=1), textline_mask.shape[0], contours_main,
+        cfg)
+
+
+def order_of_regions_from_projection(
+        y_projection: np.ndarray, height: int,
+        contours_main: Sequence[np.ndarray],
+        cfg: ReadingOrderConfig = ReadingOrderConfig()
+        ) -> Tuple[List[int], np.ndarray]:
+    """order_of_regions from a precomputed textline row projection
+    (sum over axis 1) — the only pixels-derived quantity the stage
+    consumes (main.py:1809-1822). The fused segmentation program emits
+    this directly (runtime.textline_projection), so the full textline
+    canvas never crosses to host just for reading order."""
     pad = cfg.profile_pad
-    y = textline_mask.sum(axis=1).astype(np.float64)
+    y = np.asarray(y_projection, np.float64)
     y_padded = np.zeros(len(y) + 2 * pad)
     y_padded[pad:len(y) + pad] = y
 
@@ -45,7 +60,7 @@ def order_of_regions(textline_mask: np.ndarray,
         matrix[j, 3] = cy
     matrix[:, 4] = np.arange(n)
 
-    bands = [0] + [int(p) for p in peaks_neg] + [textline_mask.shape[0]]
+    bands = [0] + [int(p) for p in peaks_neg] + [int(height)]
     final: List[int] = []
     for i in range(len(bands) - 1):
         top, down = bands[i], bands[i + 1]

@@ -247,7 +247,8 @@ def _accepts_kwarg(fn, name: str) -> bool:
 
 def extract_regions_and_textline(image_page: np.ndarray, models: ModelBundle,
                                  cfg: PipelineConfig,
-                                 return_device_textline: bool = False):
+                                 return_device_textline: bool = False,
+                                 textline_projection: bool = False):
     """Fused region+textline segmentation: one pad, one upload, one device
     dispatch, one packed transfer for both model passes (predict_dual_tiled).
     Returns (region_mask, textline_labels) — plus the on-device textline
@@ -266,6 +267,10 @@ def extract_regions_and_textline(image_page: np.ndarray, models: ModelBundle,
             _accepts_kwarg(region.predict_dual_tiled,
                            "return_device_textline"):
         kwargs["return_device_textline"] = True
+        if textline_projection and \
+                _accepts_kwarg(region.predict_dual_tiled,
+                               "textline_projection"):
+            kwargs["textline_projection"] = True
     return region.predict_dual_tiled(
         textline, image_page.astype(np.uint8), cfg.tiling.margin_ratio,
         morph=(("erode", k, cfg.morphology.region_erode_iterations),
@@ -276,7 +281,8 @@ def extract_regions_and_textline(image_page: np.ndarray, models: ModelBundle,
 
 def extract_regions_and_textline_multi(image_pages, models: ModelBundle,
                                        cfg: PipelineConfig,
-                                       return_device_textline: bool = False):
+                                       return_device_textline: bool = False,
+                                       textline_projection: bool = False):
     """Multi-page fused segmentation: K pages' tiles fold into one device
     dispatch (runner.predict_dual_tiled_multi). Returns a list of
     (region_mask, textline_labels[, textline_dev]) in input order, or None
@@ -293,6 +299,10 @@ def extract_regions_and_textline_multi(image_pages, models: ModelBundle,
             _accepts_kwarg(region.predict_dual_tiled_multi,
                            "return_device_textline"):
         kwargs["return_device_textline"] = True
+        if textline_projection and \
+                _accepts_kwarg(region.predict_dual_tiled_multi,
+                               "textline_projection"):
+            kwargs["textline_projection"] = True
     return region.predict_dual_tiled_multi(
         textline, [np.asarray(p, np.uint8) for p in image_pages],
         cfg.tiling.margin_ratio,
@@ -305,7 +315,8 @@ def extract_regions_and_textline_multi(image_pages, models: ModelBundle,
 def extract_regions_and_textline_resident(canvases, boxes,
                                           models: ModelBundle,
                                           cfg: PipelineConfig,
-                                          return_device_textline: bool = False):
+                                          return_device_textline: bool = False,
+                                          textline_projection: bool = False):
     """Fused segmentation reading crops from RESIDENT device canvases
     (runner.upload_canvas) with runtime page-box offsets: the full-page
     upload overlapped the border stage instead of serializing before the
@@ -322,6 +333,10 @@ def extract_regions_and_textline_resident(canvases, boxes,
             _accepts_kwarg(region.predict_dual_tiled_resident,
                            "return_device_textline"):
         kwargs["return_device_textline"] = True
+        if textline_projection and \
+                _accepts_kwarg(region.predict_dual_tiled_resident,
+                               "textline_projection"):
+            kwargs["textline_projection"] = True
     return region.predict_dual_tiled_resident(
         textline, canvases, boxes, cfg.tiling.margin_ratio,
         morph=(("erode", k, cfg.morphology.region_erode_iterations),
@@ -335,7 +350,9 @@ def extract_regions_and_textline_resident_raw(raws, boxes, scaled_hws,
                                               cfg: PipelineConfig,
                                               return_device_textline:
                                               bool = False,
-                                              raw_hws=None):
+                                              raw_hws=None,
+                                              textline_projection:
+                                              bool = False):
     """Fused segmentation reading from RESIDENT raw pages (upload_raw) —
     the working canvas is gathered on device through exact nearest index
     maps. Returns [(region_mask, textline_labels[, textline_dev]), ...] or
@@ -351,6 +368,10 @@ def extract_regions_and_textline_resident_raw(raws, boxes, scaled_hws,
             _accepts_kwarg(region.predict_dual_tiled_resident_raw,
                            "return_device_textline"):
         kwargs["return_device_textline"] = True
+        if textline_projection and \
+                _accepts_kwarg(region.predict_dual_tiled_resident_raw,
+                               "textline_projection"):
+            kwargs["textline_projection"] = True
     return region.predict_dual_tiled_resident_raw(
         textline, raws, boxes, scaled_hws, cfg.tiling.margin_ratio,
         morph=(("erode", k, cfg.morphology.region_erode_iterations),
@@ -467,9 +488,11 @@ def deskew_dispatch_resident(boxes: List[List[int]], engine: DeskewEngine,
 
 
 def slopes_and_lines(contours: List[np.ndarray], boxes: List[List[int]],
-                     textline_mask: np.ndarray, models_cfg: PipelineConfig,
+                     textline_mask: Optional[np.ndarray],
+                     models_cfg: PipelineConfig,
                      engine: Optional[DeskewEngine] = None,
-                     textline_dev=None, deskew_handle=None
+                     textline_dev=None, deskew_handle=None,
+                     textline_mask_fetch=None
                      ) -> Tuple[List[float], List[List[np.ndarray]]]:
     """Reference get_slopes_and_deskew + do_work_of_slopes
     (main.py:1721-1799), without the multiprocessing fan-out: the angle
@@ -498,6 +521,12 @@ def slopes_and_lines(contours: List[np.ndarray], boxes: List[List[int]],
             logger.warning(
                 "resident deskew failed for %d regions; falling back to "
                 "the host path", len(boxes), exc_info=True)
+    if textline_mask is None and textline_mask_fetch is not None:
+        # projection mode shipped no host canvas; fetch it from the
+        # device handle only now that a fallback actually needs it
+        textline_mask = textline_mask_fetch()
+    if textline_mask is None:
+        return ([0.0] * len(boxes), [[] for _ in boxes])
     crops: List[np.ndarray] = []
     for box in boxes:
         x, y, w, h = box

@@ -209,3 +209,98 @@ def test_detector_raw_phase_matches_standard(duo):
     strip = lambda s: re.sub(rb"<Metadata>.*?</Metadata>", b"", s, flags=re.S)
     assert strip(ET.tostring(a.xml_tree.getroot())) == \
         strip(ET.tostring(b.xml_tree.getroot()))
+
+
+def test_textline_projection_matches_classic(duo):
+    """Projection mode (runtime.textline_projection): the region mask is
+    bit-identical, the row projection equals the classic host textline
+    mask's crop row sums, and the device handle still yields the full
+    mask for fallbacks."""
+    m_r, m_t = duo
+    rng = np.random.default_rng(29)
+    scaled = _scaled_page(rng, 160, 130)
+    box = [12, 5, 130, 110]
+    want_region, want_textline, _ = m_r.predict_dual_tiled_resident(
+        m_t, [m_r.upload_canvas(scaled)], [box],
+        morph=MORPH, mask_class=1, post_morph=POST,
+        return_device_textline=True)[0]
+    got_region, proj, dev = m_r.predict_dual_tiled_resident(
+        m_t, [m_r.upload_canvas(scaled)], [box],
+        morph=MORPH, mask_class=1, post_morph=POST,
+        return_device_textline=True, textline_projection=True)[0]
+    np.testing.assert_array_equal(got_region, want_region)
+    assert proj.shape == (130,) and proj.dtype == np.int32
+    np.testing.assert_array_equal(
+        proj, want_textline.astype(np.int64).sum(axis=1))
+    np.testing.assert_array_equal(np.asarray(dev)[:130, :110],
+                                  want_textline)
+
+
+def test_textline_projection_multi_and_single(duo):
+    """predict_dual_tiled and the multi path agree with the classic
+    outputs in projection mode too."""
+    m_r, m_t = duo
+    rng = np.random.default_rng(31)
+    pages = [_scaled_page(rng, 150, 120) for _ in range(2)]
+    for page in pages:
+        wr, wt = m_r.predict_dual_tiled(m_t, page, mask_class=1)
+        gr, proj, dev = m_r.predict_dual_tiled(
+            m_t, page, mask_class=1, return_device_textline=True,
+            textline_projection=True)
+        np.testing.assert_array_equal(gr, wr)
+        np.testing.assert_array_equal(proj,
+                                      wt.astype(np.int64).sum(axis=1))
+    multi = m_r.predict_dual_tiled_multi(
+        m_t, pages, mask_class=1, return_device_textline=True,
+        textline_projection=True)
+    for page, (gr, proj, dev) in zip(pages, multi):
+        wr, wt = m_r.predict_dual_tiled(m_t, page, mask_class=1)
+        np.testing.assert_array_equal(gr, wr)
+        np.testing.assert_array_equal(proj,
+                                      wt.astype(np.int64).sum(axis=1))
+
+
+def test_detector_projection_off_matches_on(duo):
+    """Full pipeline equality with runtime.textline_projection on vs off:
+    slopes, contours, reading order, and the written XML must match."""
+    import dataclasses
+    import xml.etree.ElementTree as ET
+
+    from sbb_textline_detection_tpu.core.config import (
+        DEFAULT_CONFIG, DeskewConfig, ResizePolicy)
+    from sbb_textline_detection_tpu.models.runner import ModelBundle
+    from sbb_textline_detection_tpu.pipeline.detector import TextlineDetector
+
+    m_r, m_t = duo
+    variables = registry.init_variables(TINY, seed=0)
+    page_m = runner.SegmentationModel(TINY, variables,
+                                      RuntimeConfig(batch_buckets=(2, 4, 8)))
+    bundle = ModelBundle(page_m, m_r, m_t)
+    rng = np.random.default_rng(33)
+    image = _scaled_page(rng, 210, 170)
+
+    def run(tp):
+        cfg = dataclasses.replace(
+            DEFAULT_CONFIG,
+            resize=ResizePolicy(300, 160, 1.0),
+            deskew=DeskewConfig(coarse_steps=6, vertical_steps=4),
+            runtime=dataclasses.replace(
+                DEFAULT_CONFIG.runtime, batch_buckets=(2, 4, 8),
+                deskew_canvas=256, textline_projection=tp))
+        det = TextlineDetector(bundle, cfg)
+        return det.process_image(image, "p.png")
+
+    a = run(False)
+    b = run(True)
+    assert a.slopes == b.slopes
+    assert len(a.contours) == len(b.contours)
+    for ca, cb in zip(a.contours, b.contours):
+        np.testing.assert_array_equal(ca, cb)
+    for la, lb in zip(a.textlines, b.textlines):
+        assert len(la) == len(lb)
+        for xa, xb in zip(la, lb):
+            np.testing.assert_array_equal(xa, xb)
+    import re
+    strip = lambda s: re.sub(rb"<Metadata>.*?</Metadata>", b"", s, flags=re.S)
+    assert strip(ET.tostring(a.xml_tree.getroot())) == \
+        strip(ET.tostring(b.xml_tree.getroot()))
