@@ -42,8 +42,10 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data", None, None, None))
 
 
-def label_sharding(mesh: Mesh) -> NamedSharding:
-    return NamedSharding(mesh, P("data", None, None))
+def label_sharding(mesh: Mesh, ndim: int = 3) -> NamedSharding:
+    """Leading (batch) dim over data; rest replicated. ndim=4 for the
+    dual-head joint task's stacked (N, H, W, heads) label planes."""
+    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

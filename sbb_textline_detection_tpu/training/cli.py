@@ -100,7 +100,8 @@ def main(role, out, images, labels, steps, batch, lr, seed,
             return (jax.device_put(jnp.asarray(imgs),
                                    mesh_mod.batch_sharding(mesh)),
                     jax.device_put(jnp.asarray(labs),
-                                   mesh_mod.label_sharding(mesh)))
+                                   mesh_mod.label_sharding(
+                                       mesh, np.asarray(labs).ndim)))
     else:
         step_fn = jax.jit(step_fn)
 

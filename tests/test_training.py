@@ -184,3 +184,44 @@ def test_training_cli_synthetic(tmp_path, monkeypatch):
                                  RuntimeConfig(batch_buckets=(1,)))
     assert m.predict_labels(
         np.zeros((1, 32, 32, 3), np.uint8)).shape == (1, 32, 32)
+
+
+def test_mesh_dualhead_train_step_matches_single_device():
+    """SPMD parity for the dual-head joint task: one train step on the
+    (4,2) mesh (batch over data, conv channels over model) matches the
+    unsharded step — the multi-head summed-CE loss and its 4-D label
+    planes shard like the single-task path."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from sbb_textline_detection_tpu.parallel import mesh as mesh_mod
+    from sbb_textline_detection_tpu.utils import synthetic
+
+    spec = registry.ModelSpec("tp_parity_dual", "tpu_unet", 32, 32, 5,
+                              widths=(8, 16), heads=(3, 2), in_channels=2)
+    variables = registry.init_variables(spec, seed=3)
+    tx = optax.sgd(1e-2)  # see test_mesh_train_step_matches_single_device
+    opt_state = jax.jit(tx.init)(variables)
+    rng = np.random.default_rng(11)
+    images, labels = synthetic.dualhead_batch(rng, 8, 32, 32)
+    step = train.make_train_step(spec, tx)
+
+    v1, _, loss1 = jax.jit(step)(variables, opt_state,
+                                 jnp.asarray(images), jnp.asarray(labels))
+    loss1 = float(loss1)
+
+    mesh = mesh_mod.make_mesh(jax.devices()[:8], model_parallel=2)
+    vs = mesh_mod.param_shardings(mesh, variables)
+    v_sharded = mesh_mod.shard_tree(variables, vs)
+    imgs_s = jax.device_put(jnp.asarray(images),
+                            mesh_mod.batch_sharding(mesh))
+    labs_s = jax.device_put(jnp.asarray(labels),
+                            mesh_mod.label_sharding(mesh, labels.ndim))
+    opt_sharded = jax.jit(tx.init)(v_sharded)
+    v2, _, loss2 = jax.jit(step)(v_sharded, opt_sharded, imgs_s, labs_s)
+    np.testing.assert_allclose(float(loss2), loss1, rtol=1e-5)
+    flat1 = jax.tree_util.tree_leaves(jax.tree_util.tree_map(np.asarray, v1))
+    flat2 = jax.tree_util.tree_leaves(jax.tree_util.tree_map(np.asarray, v2))
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=2e-5)
