@@ -193,6 +193,15 @@ class RuntimeConfig:
     # raise on hosts with more cores or real multi-chip meshes, where the
     # grouped program amortizes per-dispatch overhead across the mesh.
     pages_per_dispatch: int = 1
+    # Device-phase worker threads in process_batch. A page's device phase
+    # is a chain of ~6 latency-bound tunnel round trips (uploads,
+    # dispatches, fetches) totalling ~0.5 s of which only ~0.3 s is chip
+    # work; TWO workers overlap two pages' round-trip waits (the threads
+    # block outside the GIL). Paired interleaved A/B on 8-page batches:
+    # 2 workers won 3/3 rounds, 3.4-3.5 s vs 3.9-4.0 s (~12%). More than
+    # 2 adds host contention on the 1-core serving VM for no further
+    # latency to hide.
+    device_phase_workers: int = 2
     # Auto-raise pages_per_dispatch to the mesh's data-axis size when the
     # models carry a multi-chip Mesh: the grouped fused program is the
     # whole point of a data axis (each chip takes ~1/N of the pages x

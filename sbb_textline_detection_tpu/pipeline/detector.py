@@ -730,13 +730,18 @@ class TextlineDetector:
 
     def process_batch(self, images: Iterable[Tuple[np.ndarray, str]],
                       prefetch: int = 1) -> Iterator[PageResult]:
-        """Pipelined batch: the device phase of upcoming pages runs on a
-        prefetch thread while this thread does host post-processing —
-        device dispatches block outside the GIL, so the single host core
-        interleaves both. Pages are grouped runtime.pages_per_dispatch at a
-        time so the segmentation passes of the whole group run as one
-        fused device dispatch (device_phase_group)."""
+        """Pipelined batch: the device phases of upcoming pages run on
+        runtime.device_phase_workers prefetch threads while this thread
+        does host post-processing — device dispatches and transfer waits
+        block outside the GIL, so the single host core interleaves all of
+        it. A page's device phase is a chain of latency-bound tunnel
+        round trips; two workers overlap two pages' chains (measured
+        +12%, see config). Pages are grouped runtime.pages_per_dispatch
+        at a time so the segmentation passes of the whole group run as
+        one fused device dispatch (device_phase_group)."""
         group_size = self._effective_group_size()
+        workers = max(1, getattr(self.config.runtime,
+                                 "device_phase_workers", 1))
 
         def grouped():
             buf = []
@@ -748,11 +753,11 @@ class TextlineDetector:
             if buf:
                 yield buf
 
-        with ThreadPoolExecutor(max_workers=1) as pool:
+        with ThreadPoolExecutor(max_workers=workers) as pool:
             pending = []
             it = grouped()
             try:
-                for _ in range(max(1, prefetch)):
+                for _ in range(max(workers, prefetch)):
                     pending.append(pool.submit(self.device_phase_group,
                                                next(it)))
             except StopIteration:
@@ -760,10 +765,11 @@ class TextlineDetector:
             while pending:
                 fut = pending.pop(0)
                 states = fut.result()
-                # Enqueue this group's deskew programs BEFORE the next
-                # group's device phase: the chip runs programs in order,
-                # so the reverse order would stall this group's host
-                # phase behind the next group's segmentation.
+                # Enqueue this group's deskew programs as soon as its
+                # state resolves (with >1 workers the next group's
+                # segmentation may already be queued ahead — the deskew
+                # results then wait ~100 ms of chip time, still a net
+                # win over serializing the round-trip chains).
                 pres = [self.host_phase_dispatch(s) for s in states]
                 try:
                     pending.append(pool.submit(self.device_phase_group,
