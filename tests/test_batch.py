@@ -91,3 +91,24 @@ def test_run_files_writes_in_order(detector, tmp_path):
     assert [o.endswith(f"scan_{i}.xml") for i, o in enumerate(outs)] == [True, True]
     for o in outs:
         assert ET.parse(o).getroot().tag.endswith("PcGts")
+
+
+def test_batch_workers_1_matches_2(detector):
+    """Results are identical whichever worker count overlaps the device
+    phases (runtime.device_phase_workers): the scheduling changes only
+    timing, never values."""
+    pages = _pages()
+    want = list(detector.process_batch(
+        (p, f"p{i}.png") for i, p in enumerate(pages)))
+    cfg1 = dataclasses.replace(
+        detector.config, runtime=dataclasses.replace(
+            detector.config.runtime, device_phase_workers=1))
+    det1 = TextlineDetector(detector.models, cfg1)
+    got = list(det1.process_batch(
+        (p, f"p{i}.png") for i, p in enumerate(pages)))
+    assert len(got) == len(want)
+    for a, b in zip(want, got):
+        assert a.slopes == b.slopes
+        assert len(a.contours) == len(b.contours)
+        for ca, cb in zip(a.contours, b.contours):
+            np.testing.assert_array_equal(ca, cb)

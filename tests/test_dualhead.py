@@ -208,3 +208,21 @@ def test_detector_e2e_dualhead(tmp_path):
 
     root = ET.parse(out).getroot()
     assert root.tag.endswith("PcGts")
+
+
+def test_from_dir_rejects_headless_dualhead_checkpoint(tmp_path):
+    """A checkpoint NAMED as the dual-head model but carrying no head
+    split must fail loudly (a silently mis-decoded head slice would
+    degrade every page)."""
+    import jax
+
+    as_np = lambda v: jax.tree_util.tree_map(np.asarray, v)
+    checkpoint.save(str(tmp_path / "model_page_mixed_best.npz"), PAGE_TINY,
+                    as_np(registry.init_variables(PAGE_TINY, seed=0)))
+    bad = registry.ModelSpec("tiny5", "tpu_unet", 64, 64, 5,
+                             widths=(8, 16))
+    checkpoint.save(str(tmp_path / "model_dualhead.npz"), bad,
+                    as_np(registry.init_variables(bad, seed=1)))
+    with pytest.raises(ValueError, match="head split"):
+        runner.ModelBundle.from_dir(str(tmp_path),
+                                    RuntimeConfig(batch_buckets=(2, 4)))
