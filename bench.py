@@ -248,6 +248,9 @@ def main() -> None:
             "region_recall_degraded": round(float(np.nanmean(
                 [s.region_recall for s, d in zip(scores, degrades)
                  if d > 0.0] or [float("nan")])), 3),
+            "region_precision_degraded": round(float(np.nanmean(
+                [s.region_precision for s, d in zip(scores, degrades)
+                 if d > 0.0] or [float("nan")])), 3),
             "skews_deg": skews,
             "degrade_strengths": degrades,
         },

@@ -215,6 +215,17 @@ class RuntimeConfig:
     # gather the host resize performs). Falls back to the standard path
     # on any failure.
     raw_upload: bool = True
+    # Headless page box (raw-upload path only): the page-model forward AND
+    # the border-box decision run as one fetch-free device dispatch
+    # (runner.page_box_dev: forward -> dilate -> largest component ->
+    # boundingRect -> exact nearest-upscale mapping, ops/cc.py); the (1,5)
+    # box feeds the fused program on device and its bytes ride in the
+    # packed blob. Deletes the small-label fetch round trip (~35-70 ms)
+    # from every page's device chain. The tile grid then covers the full
+    # working page (the box is unknown at dispatch time) — runtime box
+    # masking keeps outputs identical to the box-sized grid. Component
+    # areas are pixel counts, not contour polygon areas (DEVIATIONS #12).
+    device_page_box: bool = False
     # Batch path: upload each page's margin-padded working image at the
     # START of the device phase (runner.upload_canvas) and let the fused
     # program slice the crop with runtime box offsets, instead of

@@ -136,6 +136,50 @@ class SegmentationModel:
         self._forward_whole_batch_jit = _forward_whole_batch_packed
         self._whole_batch_compiled = {}
 
+        @jax.jit
+        def _forward_box(variables, img_u8, dims_i32):
+            # page forward + the ENTIRE box decision on device (forward,
+            # threshold, dilate, largest component, boundingRect, exact
+            # nearest-upscale index math): the reference chain
+            # main.py:368-373 + 394-404 at model resolution
+            # (stages._page_box_model_res semantics, DEVIATIONS.md #9)
+            # with NO device->host fetch — the (5,) result feeds the fused
+            # segmentation program directly (page_box_dev).
+            from sbb_textline_detection_tpu.ops import cc as cc_ops
+            from sbb_textline_detection_tpu.ops import (
+                morphology as morph_ops)
+
+            x = img_u8[None].astype(jnp.float32) / 255.0
+            logits = self._module.apply(variables, x)
+            labels = jnp.argmax(logits[0], axis=-1).astype(jnp.uint8)
+            mh_, mw_ = labels.shape
+            dil = morph_ops.dilate((labels != 0).astype(jnp.uint8), 3, 1)
+            box, valid = cc_ops.largest_component_box(dil)
+            th, tw = dims_i32[0], dims_i32[1]
+            bx, by, bw, bh = box[0], box[1], box[2], box[3]
+            # full-res pixels whose nearest source index is j span
+            # [ceil(j*W/mw), ceil((j+1)*W/mw) - 1] (ops/resize.py math)
+            x0 = -(-(bx * tw) // mw_)
+            x1 = -(-((bx + bw) * tw) // mw_) - 1
+            y0 = -(-(by * th) // mh_)
+            y1 = -(-((by + bh) * th) // mh_) - 1
+            w_ = jnp.maximum(1, x1 - x0 + 1)
+            h_ = jnp.maximum(1, y1 - y0 + 1)
+            one = jnp.int32(1)
+            zero = jnp.int32(0)
+            # invalid (empty mask) -> the whole image with the reference's
+            # off-by-one shape quirk (main.py:406-426; stages.extract_page
+            # except path): [y, x, h, w] = [0, 0, th-1, tw-1]
+            out = jnp.where(valid,
+                            jnp.stack([y0, x0, h_, w_, one]),
+                            jnp.stack([zero, zero, th - 1, tw - 1, zero]))
+            # (1, 5): feeds the fused program's (k=1, 5) boxes input with
+            # no intervening reshape dispatch
+            return out.astype(jnp.int32)[None]
+
+        self._forward_box_jit = _forward_box
+        self._box_compiled = None
+
     def _aot(self, jitted, *args):
         """AOT-compile once: (compiled, flops). The compiled object is the
         only dispatch path (calling the jit wrapper after lower/compile
@@ -212,6 +256,32 @@ class SegmentationModel:
             packed = np.asarray(compiled(self.variables,
                                          jnp.asarray(small_u8)))
         return pack_ops.unpack2_host(packed, (mh, mw))
+
+    def page_box_dev(self, small_u8: np.ndarray, target_h: int,
+                     target_w: int) -> jax.Array:
+        """Dispatch the page forward + box decision and return the (1, 5)
+        int32 DEVICE array [[by, bx, h, w, valid]] in (target_h, target_w)
+        working coordinates — no device->host fetch. The result feeds
+        predict_dual_tiled_resident_raw_headless directly, deleting the
+        small-label fetch round trip (~35-70 ms on the serving tunnel)
+        from every page's device-phase chain. Box semantics ==
+        stages._page_box_model_res (pixel-count component areas instead
+        of contour polygon areas — DEVIATIONS.md #12)."""
+        mh, mw = self.input_hw
+        if small_u8.shape[:2] != (mh, mw):
+            raise ValueError(f"expected {(mh, mw)} input, got "
+                             f"{small_u8.shape[:2]}")
+        if self._box_compiled is None:
+            dims_ex = jax.ShapeDtypeStruct((2,), jnp.int32)
+            small_ex = jax.ShapeDtypeStruct((mh, mw, 3), jnp.uint8)
+            self._box_compiled = self._aot(
+                self._forward_box_jit, self.variables, small_ex, dims_ex)
+        compiled, flops = self._box_compiled
+        # dispatch-only: flops accrue here, the wait happens at the fused
+        # program's blob fetch downstream
+        with stagetime.device_section(flops):
+            return compiled(self.variables, jnp.asarray(small_u8),
+                            jnp.asarray([target_h, target_w], jnp.int32))
 
     def predict_whole_small_batch(self, imgs_u8) -> np.ndarray:
         """K pages' whole-image forwards in ONE dispatch: resize each to
@@ -800,6 +870,74 @@ class SegmentationModel:
                                        return_device_textline,
                                        textline_projection)
 
+    def predict_dual_tiled_resident_raw_headless(
+            self, other: "SegmentationModel", raw, boxes5_dev,
+            scaled_hw, margin_ratio: float = 0.1,
+            morph: Optional[MorphSpec] = None,
+            mask_class: Optional[int] = None,
+            post_morph: Optional[MorphSpec] = None,
+            raw_hw=None):
+        """predict_dual_tiled_resident_raw with the page box as a DEVICE
+        input (page_box_dev's (1, 5) result) instead of host ints: the
+        host never fetches the page-model output, so the device phase is
+        upload -> box dispatch -> fused dispatch -> ONE blob fetch. The
+        tile grid covers the full working page (the box is unknown at
+        dispatch time); runtime box masking keeps results identical to the
+        box-sized grid, at the price of the trimmed margin tiles. The box
+        bytes ride at the tail of the packed blob.
+
+        Single-page only (the production dispatch shape). Requires
+        mask_class (1-bit packing) and always returns the device textline
+        handle + row projection. Returns (region_mask, row_projection,
+        textline_dev, box5) with box5 the fetched [by, bx, h, w, valid]."""
+        if self.input_hw != other.input_hw:
+            raise ValueError("dual tiled predict needs identical geometry")
+        if mask_class is None:
+            raise ValueError("headless path requires mask_class")
+        if tuple(boxes5_dev.shape) != (1, 5):
+            raise ValueError(f"boxes5_dev must be (1, 5), got "
+                             f"{tuple(boxes5_dev.shape)}")
+        mh, mw = self.input_hw
+        margin = int(margin_ratio * mw)
+        sh, sw = mh - 2 * margin, mw - 2 * margin
+        th, tw = scaled_hw
+        ny, nx = self.grid_for(th, tw, margin_ratio)
+        ch, cw = self.canvas_shape_for(th, tw, margin_ratio)
+        if raw_hw is None:
+            raw_hw = tuple(raw.shape[:2])
+        raw_h, raw_w = raw_hw
+        iy = np.full(ch, -1, np.int32)
+        ix = np.full(cw, -1, np.int32)
+        iy[margin:margin + th] = resize_ops._nearest_indices(th, raw_h)
+        ix[margin:margin + tw] = resize_ops._nearest_indices(tw, raw_w)
+        stacked = raw[None] if raw.ndim in (2, 3) else raw
+        bits1 = self.textline_n_classes(other) <= 2
+        compiled, flops = self._dual_tiled_resident_fn(
+            other, 1, ny, nx, margin, (1, ch, cw, 3),
+            tuple(morph or ()), mask_class, tuple(post_morph or ()),
+            bits1=bits1, keep_dev=True,
+            raw_shape=tuple(stacked.shape), proj=True, box_blob=True)
+        big_h, big_w = ny * sh, nx * sw
+        npix = big_h * big_w
+        packed_nbytes = (npix + 7) // 8 if bits1 else (npix + 3) // 4
+        proj_nbytes = big_h * 4
+        with stagetime.device_section(flops):
+            blob_dev, textline_stack = compiled(
+                self.variables, other.variables, stacked, boxes5_dev,
+                jnp.asarray(iy[None]), jnp.asarray(ix[None]))
+            blob = np.asarray(blob_dev)      # the single d2h round trip
+        packed = blob[:packed_nbytes]
+        proj = np.frombuffer(
+            blob[packed_nbytes:packed_nbytes + proj_nbytes].tobytes(),
+            np.int32)
+        box5 = np.frombuffer(
+            blob[packed_nbytes + proj_nbytes:].tobytes(),
+            np.int32).reshape(5)
+        h, w = int(box5[2]), int(box5[3])
+        unpack = pack_ops.unpack1_host if bits1 else pack_ops.unpack2_host
+        region = unpack(packed, (big_h, big_w))[:h, :w]
+        return region, proj[:h], textline_stack[0], box5
+
     def upload_canvas(self, scaled_img: np.ndarray,
                       margin_ratio: float = 0.1):
         """Host-pad the working page into its white canvas and START the
@@ -923,16 +1061,22 @@ class SegmentationModel:
                                 mask_class: Optional[int],
                                 post_morph: MorphSpec, bits1: bool,
                                 keep_dev: bool = False,
-                                raw_shape=None, proj: bool = False):
+                                raw_shape=None, proj: bool = False,
+                                box_blob: bool = False):
         """`stacked_shape` is the (k, ch, cw, 3) canvas shape. With
         `raw_shape` set, the program's inputs are raw pages of that shape
         plus per-axis nearest index maps, and the canvas is gathered on
         device (the raw-upload path). With `proj`, only the region canvas
         is packed and the textline canvas crosses as its crop-masked row
-        projection (+ the resident device handle)."""
+        projection (+ the resident device handle). With `box_blob` (the
+        headless page-box path), the boxes input is (k, 5) int32
+        [by, bx, h, w, valid] — typically a DEVICE result of page_box_dev,
+        never fetched by the host — and its bytes ride at the tail of the
+        packed blob so the host learns the box from the same single
+        fetch."""
         key = ("dual_res", id(other), k, ny, nx, margin, stacked_shape,
                morph, mask_class, post_morph, bits1, keep_dev, raw_shape,
-               proj)
+               proj, box_blob)
         entry = self._tiled_cache.get(key)
         if entry is not None:
             return entry
@@ -958,8 +1102,9 @@ class SegmentationModel:
 
         ch_, cw_ = stacked_shape[1], stacked_shape[2]
 
-        def _core(vars_r, vars_t, canvases_u8, boxes):
+        def _core(vars_r, vars_t, canvases_u8, boxes_in):
             from sbb_textline_detection_tpu.ops import threshold
+            boxes = boxes_in[:, :4] if box_blob else boxes_in
             ph, pw = canvases_u8.shape[1:3]
             iy = jnp.arange(ph, dtype=jnp.int32)[:, None]
             ix = jnp.arange(pw, dtype=jnp.int32)[None, :]
@@ -1022,10 +1167,13 @@ class SegmentationModel:
                 rowsum = jax.vmap(lambda c, box: jnp.sum(
                     jnp.where(cols < box[3], c, jnp.uint8(0)).astype(
                         jnp.int32), axis=1))(canvas_t, boxes)
-                blob = jnp.concatenate(
-                    [pack(canvas_r.reshape(k * big_h, big_w)),
-                     jax.lax.bitcast_convert_type(
-                         rowsum, jnp.uint8).reshape(-1)])
+                parts = [pack(canvas_r.reshape(k * big_h, big_w)),
+                         jax.lax.bitcast_convert_type(
+                             rowsum, jnp.uint8).reshape(-1)]
+                if box_blob:
+                    parts.append(jax.lax.bitcast_convert_type(
+                        boxes_in, jnp.uint8).reshape(-1))
+                blob = jnp.concatenate(parts)
                 return blob, canvas_t
             packed = pack(jnp.concatenate(
                 [canvas_r.reshape(k * big_h, big_w),
@@ -1034,7 +1182,8 @@ class SegmentationModel:
                 return packed, canvas_t
             return packed
 
-        boxes_ex = jax.ShapeDtypeStruct((k, 4), jnp.int32)
+        boxes_ex = jax.ShapeDtypeStruct((k, 5 if box_blob else 4),
+                                        jnp.int32)
         if raw_shape is None:
             canv_ex = jax.ShapeDtypeStruct(stacked_shape, jnp.uint8)
             entry = self._aot(jax.jit(_core), self.variables,

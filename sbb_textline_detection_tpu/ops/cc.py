@@ -1,0 +1,122 @@
+"""Device connected-component labeling (largest-component box).
+
+Purpose: move the page-border box decision (reference main.py:394-404:
+threshold -> dilate -> largest contour -> boundingRect) fully on device so
+the page-model dispatch needs NO device->host fetch — the box rides as a
+(5,) int32 device array straight into the fused segmentation program, and
+the host first sees it inside that program's packed blob. On the serving
+tunnel every fetch is a ~35-70 ms round trip, so deleting the small-label
+fetch shortens each page's device-phase chain by one blocking round trip.
+
+Algorithm: iterative min-label propagation to a fixpoint.
+
+- seed: every foreground pixel starts with its own flat index, background
+  holds the sentinel H*W;
+- one sweep = per-axis segmented min-scans (forward + backward along rows,
+  then columns — a label crosses a whole straight run in ONE sweep, not
+  one pixel per iteration) plus a 3x3 window min for the diagonal links of
+  8-connectivity (matching the host oracle `ops/contours.label_components`
+  and cv2's contour connectivity);
+- `lax.while_loop` until no label changes: the iteration count is the
+  number of "bends" in the worst component (2-4 for real page masks), not
+  the geodesic diameter.
+
+The final label of each component is the flat index of its topmost-
+leftmost pixel. Areas are PIXEL COUNTS (one `bincount` over the label
+map); the host oracle ranks exterior contours by their shoelace polygon
+area (main.py:85-87). The two rankings agree unless two near-equal-area
+candidates differ via boundary/hole accounting — see DEVIATIONS.md (the
+page-box entry) and the parity test in tests/test_cc.py.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _seg_min_scan(m: jax.Array, g: jax.Array, axis: int,
+                  reverse: bool) -> jax.Array:
+    """Segmented running min along `axis`: position p receives the min of
+    `m` over the contiguous True-run of `g` ending at p (from the scan
+    direction). m: int32 with sentinel at ~g; g: bool."""
+
+    def comb(a, b):
+        am, ag = a
+        bm, bg = b
+        return jnp.where(bg, jnp.minimum(bm, am), bm), ag & bg
+
+    mm, _ = jax.lax.associative_scan(comb, (m, g), axis=axis,
+                                     reverse=reverse)
+    return mm
+
+
+def label_components(mask: jax.Array) -> jax.Array:
+    """8-connected component labels of `mask != 0` on device.
+
+    Returns (H, W) int32: each foreground pixel holds its component's
+    minimal flat index; background holds H*W. Device twin of
+    `ops/contours.label_components` (host/native) up to the label values
+    (host assigns dense 1..n ids; both induce the same partition)."""
+    import numpy as np
+
+    fg = mask != 0
+    h, w = mask.shape
+    big = np.int32(h * w)  # concrete: reduce_window's init must not trace
+    iota = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
+    lab0 = jnp.where(fg, iota, big)
+
+    def sweep(lab):
+        for axis in (1, 0):
+            fwd = _seg_min_scan(lab, fg, axis, False)
+            bwd = _seg_min_scan(lab, fg, axis, True)
+            lab = jnp.where(fg, jnp.minimum(fwd, bwd), big)
+        # diagonal links (8-connectivity): 3x3 neighborhood min
+        n3 = jax.lax.reduce_window(lab, big, jax.lax.min, (3, 3), (1, 1),
+                                   ((1, 1), (1, 1)))
+        return jnp.where(fg, jnp.minimum(lab, n3), big)
+
+    def cond(state):
+        _, changed = state
+        return changed
+
+    def body(state):
+        lab, _ = state
+        new = sweep(lab)
+        return new, jnp.any(new != lab)
+
+    lab, _ = jax.lax.while_loop(cond, body, (sweep(lab0), jnp.bool_(True)))
+    return lab
+
+
+def largest_component_box(mask: jax.Array
+                          ) -> Tuple[jax.Array, jax.Array]:
+    """Bounding box of the largest (pixel-count) 8-connected component.
+
+    Returns ((4,) int32 [x, y, w, h] — `cv2.boundingRect` convention, the
+    same layout as `ops/contours.bounding_rect` — and a bool scalar
+    `valid` (False when the mask is empty; the box is then all-zero and
+    the caller must fall back, like the host path's except at
+    main.py:406-426 / stages.extract_page)."""
+    h, w = mask.shape
+    lab = label_components(mask)
+    flat = lab.reshape(-1)
+    counts = jnp.zeros(h * w + 1, jnp.int32).at[flat].add(1)
+    counts = counts.at[h * w].set(0)  # background sentinel
+    best = jnp.argmax(counts).astype(jnp.int32)
+    valid = counts[best] > 0
+    hit = lab == best
+    rows = jnp.any(hit, axis=1)
+    cols = jnp.any(hit, axis=0)
+    ys = jnp.arange(h, dtype=jnp.int32)
+    xs = jnp.arange(w, dtype=jnp.int32)
+    y0 = jnp.min(jnp.where(rows, ys, h)).astype(jnp.int32)
+    y1 = jnp.max(jnp.where(rows, ys, -1)).astype(jnp.int32)
+    x0 = jnp.min(jnp.where(cols, xs, w)).astype(jnp.int32)
+    x1 = jnp.max(jnp.where(cols, xs, -1)).astype(jnp.int32)
+    box = jnp.where(valid,
+                    jnp.stack([x0, y0, x1 - x0 + 1, y1 - y0 + 1]),
+                    jnp.zeros(4, jnp.int32))
+    return box, valid

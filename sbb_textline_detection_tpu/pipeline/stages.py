@@ -381,6 +381,27 @@ def extract_regions_and_textline_resident_raw(raws, boxes, scaled_hws,
         **kwargs)
 
 
+def extract_regions_and_textline_resident_raw_headless(
+        raw_dev, boxes5_dev, scaled_hw, models: ModelBundle,
+        cfg: PipelineConfig, raw_hw=None):
+    """Fused segmentation from a RESIDENT raw page with a DEVICE page box
+    (page_box_dev): the host fetches nothing until the single packed blob.
+    Returns (region_mask, row_projection, textline_dev, box5) or None when
+    the bundle can't do it."""
+    region, textline = models.region, models.textline
+    if not (hasattr(region, "predict_dual_tiled_resident_raw_headless")
+            and hasattr(textline, "input_hw")
+            and getattr(region, "input_hw", None) == textline.input_hw):
+        return None
+    k = cfg.morphology.kernel_size
+    return region.predict_dual_tiled_resident_raw_headless(
+        textline, raw_dev, boxes5_dev, scaled_hw, cfg.tiling.margin_ratio,
+        morph=(("erode", k, cfg.morphology.region_erode_iterations),
+               ("dilate", k, cfg.morphology.region_dilate_iterations)),
+        mask_class=cfg.region.text_class_value,
+        post_morph=(("open", k, 1), ("close", k, 1)), raw_hw=raw_hw)
+
+
 def region_contours_and_boxes(region_mask: np.ndarray, cfg: PipelineConfig
                               ) -> Tuple[List[np.ndarray], List[List[int]]]:
     """Text-region contours (main.py:465-481) from the shaped binary mask
