@@ -226,6 +226,15 @@ class RuntimeConfig:
     # masking keeps outputs identical to the box-sized grid. Component
     # areas are pixel counts, not contour polygon areas (DEVIATIONS #12).
     device_page_box: bool = False
+    # Fully-fused page program (supersedes device_page_box when on): the
+    # page-model input gather, page forward + box decision, AND the fused
+    # dual segmentation run as ONE program from the resident raw page
+    # (runner.predict_dual_tiled_resident_raw_fullfused). The device
+    # chain collapses to raw upload -> one dispatch -> one blob fetch,
+    # deleting the box dispatch round trip plus the host-side small
+    # gather + upload of the headless path. Same full-page tile grid and
+    # blob layout as device_page_box; same DEVIATIONS #12 box semantics.
+    fused_page_box: bool = False
     # Batch path: upload each page's margin-padded working image at the
     # START of the device phase (runner.upload_canvas) and let the fused
     # program slice the crop with runtime box offsets, instead of

@@ -47,6 +47,48 @@ from sbb_textline_detection_tpu.utils import stagetime
 MorphSpec = Tuple[Tuple[str, int, int], ...]
 
 
+def _page_box_from_small(module, variables, img_u8, th, tw):
+    """Page forward + the ENTIRE box decision on device (forward,
+    threshold, dilate, largest component, boundingRect, exact
+    nearest-upscale index math): the reference chain main.py:368-373 +
+    394-404 at model resolution (stages._page_box_model_res semantics,
+    DEVIATIONS.md #9) with NO device->host fetch. `th`/`tw` are the
+    working dims — traced int32 scalars (page_box_dev) or static Python
+    ints (the fully-fused program). Returns the (1, 5) int32
+    [[by, bx, h, w, valid]]."""
+    from sbb_textline_detection_tpu.ops import cc as cc_ops
+    from sbb_textline_detection_tpu.ops import morphology as morph_ops
+
+    x = img_u8[None].astype(jnp.float32) / 255.0
+    logits = module.apply(variables, x)
+    labels = jnp.argmax(logits[0], axis=-1).astype(jnp.uint8)
+    mh_, mw_ = labels.shape
+    dil = morph_ops.dilate((labels != 0).astype(jnp.uint8), 3, 1)
+    box, valid = cc_ops.largest_component_box(dil)
+    bx, by, bw, bh = box[0], box[1], box[2], box[3]
+    # full-res pixels whose nearest source index is j span
+    # [ceil(j*W/mw), ceil((j+1)*W/mw) - 1] (ops/resize.py math)
+    x0 = -(-(bx * tw) // mw_)
+    x1 = -(-((bx + bw) * tw) // mw_) - 1
+    y0 = -(-(by * th) // mh_)
+    y1 = -(-((by + bh) * th) // mh_) - 1
+    w_ = jnp.maximum(1, x1 - x0 + 1)
+    h_ = jnp.maximum(1, y1 - y0 + 1)
+    one = jnp.int32(1)
+    zero = jnp.int32(0)
+    # invalid (empty mask) -> the whole image with the reference's
+    # off-by-one shape quirk (main.py:406-426; stages.extract_page
+    # except path): [y, x, h, w] = [0, 0, th-1, tw-1]
+    out = jnp.where(valid,
+                    jnp.stack([y0, x0, h_, w_, one]),
+                    jnp.stack([zero, zero,
+                               jnp.asarray(th - 1, jnp.int32),
+                               jnp.asarray(tw - 1, jnp.int32), zero]))
+    # (1, 5): feeds the fused program's (k=1, 5) boxes input with
+    # no intervening reshape dispatch
+    return out.astype(jnp.int32)[None]
+
+
 def _pad_white(img_u8: np.ndarray, top: int, bottom: int, left: int,
                right: int) -> np.ndarray:
     """Constant-255 border pad. np.pad's generic path costs ~115 ms on the
@@ -138,44 +180,8 @@ class SegmentationModel:
 
         @jax.jit
         def _forward_box(variables, img_u8, dims_i32):
-            # page forward + the ENTIRE box decision on device (forward,
-            # threshold, dilate, largest component, boundingRect, exact
-            # nearest-upscale index math): the reference chain
-            # main.py:368-373 + 394-404 at model resolution
-            # (stages._page_box_model_res semantics, DEVIATIONS.md #9)
-            # with NO device->host fetch — the (5,) result feeds the fused
-            # segmentation program directly (page_box_dev).
-            from sbb_textline_detection_tpu.ops import cc as cc_ops
-            from sbb_textline_detection_tpu.ops import (
-                morphology as morph_ops)
-
-            x = img_u8[None].astype(jnp.float32) / 255.0
-            logits = self._module.apply(variables, x)
-            labels = jnp.argmax(logits[0], axis=-1).astype(jnp.uint8)
-            mh_, mw_ = labels.shape
-            dil = morph_ops.dilate((labels != 0).astype(jnp.uint8), 3, 1)
-            box, valid = cc_ops.largest_component_box(dil)
-            th, tw = dims_i32[0], dims_i32[1]
-            bx, by, bw, bh = box[0], box[1], box[2], box[3]
-            # full-res pixels whose nearest source index is j span
-            # [ceil(j*W/mw), ceil((j+1)*W/mw) - 1] (ops/resize.py math)
-            x0 = -(-(bx * tw) // mw_)
-            x1 = -(-((bx + bw) * tw) // mw_) - 1
-            y0 = -(-(by * th) // mh_)
-            y1 = -(-((by + bh) * th) // mh_) - 1
-            w_ = jnp.maximum(1, x1 - x0 + 1)
-            h_ = jnp.maximum(1, y1 - y0 + 1)
-            one = jnp.int32(1)
-            zero = jnp.int32(0)
-            # invalid (empty mask) -> the whole image with the reference's
-            # off-by-one shape quirk (main.py:406-426; stages.extract_page
-            # except path): [y, x, h, w] = [0, 0, th-1, tw-1]
-            out = jnp.where(valid,
-                            jnp.stack([y0, x0, h_, w_, one]),
-                            jnp.stack([zero, zero, th - 1, tw - 1, zero]))
-            # (1, 5): feeds the fused program's (k=1, 5) boxes input with
-            # no intervening reshape dispatch
-            return out.astype(jnp.int32)[None]
+            return _page_box_from_small(self._module, variables, img_u8,
+                                        dims_i32[0], dims_i32[1])
 
         self._forward_box_jit = _forward_box
         self._box_compiled = None
@@ -938,6 +944,76 @@ class SegmentationModel:
         region = unpack(packed, (big_h, big_w))[:h, :w]
         return region, proj[:h], textline_stack[0], box5
 
+    def predict_dual_tiled_resident_raw_fullfused(
+            self, other: "SegmentationModel", page: "SegmentationModel",
+            raw, small_ys, small_xs, scaled_hw, margin_ratio: float = 0.1,
+            morph: Optional[MorphSpec] = None,
+            mask_class: Optional[int] = None,
+            post_morph: Optional[MorphSpec] = None,
+            raw_hw=None):
+        """The whole page device phase as ONE program: the page model's
+        input is gathered from the RESIDENT raw page on device
+        (`small_ys`/`small_xs` = composed two-stage nearest index maps,
+        ops/resize.compose_nearest_indices), the page forward + border-box
+        decision run inline (_page_box_from_small), and the box feeds the
+        fused dual segmentation directly. Chain: raw upload -> ONE
+        dispatch -> ONE blob fetch — one dispatch round trip and the
+        host-side small gather + upload shorter than the headless path
+        (page_box_dev + fused dispatch). Everything else (grid, packing,
+        blob layout) matches predict_dual_tiled_resident_raw_headless.
+
+        Single-page only. Returns (region_mask, row_projection,
+        textline_dev, box5) with box5 the fetched [by, bx, h, w, valid]."""
+        if self.input_hw != other.input_hw:
+            raise ValueError("dual tiled predict needs identical geometry")
+        if mask_class is None:
+            raise ValueError("fullfused path requires mask_class")
+        mh, mw = self.input_hw
+        margin = int(margin_ratio * mw)
+        sh, sw = mh - 2 * margin, mw - 2 * margin
+        th, tw = scaled_hw
+        ny, nx = self.grid_for(th, tw, margin_ratio)
+        ch, cw = self.canvas_shape_for(th, tw, margin_ratio)
+        if raw_hw is None:
+            raw_hw = tuple(raw.shape[:2])
+        raw_h, raw_w = raw_hw
+        pmh, pmw = page.input_hw
+        small_ys = np.asarray(small_ys, np.int32).reshape(pmh)
+        small_xs = np.asarray(small_xs, np.int32).reshape(pmw)
+        iy = np.full(ch, -1, np.int32)
+        ix = np.full(cw, -1, np.int32)
+        iy[margin:margin + th] = resize_ops._nearest_indices(th, raw_h)
+        ix[margin:margin + tw] = resize_ops._nearest_indices(tw, raw_w)
+        stacked = raw[None] if raw.ndim in (2, 3) else raw
+        bits1 = self.textline_n_classes(other) <= 2
+        compiled, flops = self._dual_tiled_resident_fn(
+            other, 1, ny, nx, margin, (1, ch, cw, 3),
+            tuple(morph or ()), mask_class, tuple(post_morph or ()),
+            bits1=bits1, keep_dev=True,
+            raw_shape=tuple(stacked.shape), proj=True, box_blob=True,
+            page_box=(page, th, tw))
+        big_h, big_w = ny * sh, nx * sw
+        npix = big_h * big_w
+        packed_nbytes = (npix + 7) // 8 if bits1 else (npix + 3) // 4
+        proj_nbytes = big_h * 4
+        with stagetime.device_section(flops):
+            blob_dev, textline_stack = compiled(
+                self.variables, other.variables, page.variables, stacked,
+                jnp.asarray(iy[None]), jnp.asarray(ix[None]),
+                jnp.asarray(small_ys), jnp.asarray(small_xs))
+            blob = np.asarray(blob_dev)      # the single d2h round trip
+        packed = blob[:packed_nbytes]
+        proj = np.frombuffer(
+            blob[packed_nbytes:packed_nbytes + proj_nbytes].tobytes(),
+            np.int32)
+        box5 = np.frombuffer(
+            blob[packed_nbytes + proj_nbytes:].tobytes(),
+            np.int32).reshape(5)
+        h, w = int(box5[2]), int(box5[3])
+        unpack = pack_ops.unpack1_host if bits1 else pack_ops.unpack2_host
+        region = unpack(packed, (big_h, big_w))[:h, :w]
+        return region, proj[:h], textline_stack[0], box5
+
     def upload_canvas(self, scaled_img: np.ndarray,
                       margin_ratio: float = 0.1):
         """Host-pad the working page into its white canvas and START the
@@ -1062,7 +1138,8 @@ class SegmentationModel:
                                 post_morph: MorphSpec, bits1: bool,
                                 keep_dev: bool = False,
                                 raw_shape=None, proj: bool = False,
-                                box_blob: bool = False):
+                                box_blob: bool = False,
+                                page_box=None):
         """`stacked_shape` is the (k, ch, cw, 3) canvas shape. With
         `raw_shape` set, the program's inputs are raw pages of that shape
         plus per-axis nearest index maps, and the canvas is gathered on
@@ -1073,13 +1150,24 @@ class SegmentationModel:
         [by, bx, h, w, valid] — typically a DEVICE result of page_box_dev,
         never fetched by the host — and its bytes ride at the tail of the
         packed blob so the host learns the box from the same single
-        fetch."""
+        fetch. With `page_box` = (page_model, th, tw) (implies box_blob,
+        raw_shape, k == 1), there is no boxes input at all: the program
+        gathers the page model's small input from the raw page (index-map
+        inputs), runs the page forward + box decision inline
+        (_page_box_from_small with STATIC working dims), and feeds the box
+        straight into the segmentation — the whole page device phase as
+        one dispatch."""
         key = ("dual_res", id(other), k, ny, nx, margin, stacked_shape,
                morph, mask_class, post_morph, bits1, keep_dev, raw_shape,
-               proj, box_blob)
+               proj, box_blob,
+               (id(page_box[0]), page_box[1], page_box[2])
+               if page_box is not None else None)
         entry = self._tiled_cache.get(key)
         if entry is not None:
             return entry
+        if page_box is not None and (raw_shape is None or not box_blob
+                                     or k != 1):
+            raise ValueError("page_box requires raw_shape, box_blob, k=1")
 
         mh, mw = self.input_hw
         sh, sw = mh - 2 * margin, mw - 2 * margin
@@ -1218,9 +1306,33 @@ class SegmentationModel:
             raw_ex = jax.ShapeDtypeStruct(raw_shape, jnp.uint8)
             iy_ex = jax.ShapeDtypeStruct((k, ch_), jnp.int32)
             ix_ex = jax.ShapeDtypeStruct((k, cw_), jnp.int32)
-            entry = self._aot(jax.jit(fn_raw), self.variables,
-                              other.variables, raw_ex, boxes_ex, iy_ex,
-                              ix_ex)
+            if page_box is not None:
+                page_model, th_s, tw_s = page_box
+                pmh, pmw = page_model.input_hw
+
+                def fn_full(vars_r, vars_t, vars_p, raws_u8, iy_map,
+                            ix_map, sy, sx):
+                    raw0 = raws_u8[0]
+                    rows = jnp.take(raw0, sy, axis=0)
+                    small = jnp.take(rows, sx, axis=1)
+                    if gray:
+                        small = small[..., None]
+                    small3 = jnp.broadcast_to(small,
+                                              small.shape[:2] + (3,))
+                    box5 = _page_box_from_small(
+                        page_model._module, vars_p, small3, th_s, tw_s)
+                    return fn_raw(vars_r, vars_t, raws_u8, box5, iy_map,
+                                  ix_map)
+
+                sy_ex = jax.ShapeDtypeStruct((pmh,), jnp.int32)
+                sx_ex = jax.ShapeDtypeStruct((pmw,), jnp.int32)
+                entry = self._aot(jax.jit(fn_full), self.variables,
+                                  other.variables, page_model.variables,
+                                  raw_ex, iy_ex, ix_ex, sy_ex, sx_ex)
+            else:
+                entry = self._aot(jax.jit(fn_raw), self.variables,
+                                  other.variables, raw_ex, boxes_ex, iy_ex,
+                                  ix_ex)
         self._tiled_cache[key] = entry
         return entry
 

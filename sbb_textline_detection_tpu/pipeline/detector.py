@@ -150,6 +150,17 @@ class TextlineDetector:
                 hasattr(self.models.region,
                         "predict_dual_tiled_resident_raw") and \
                 hasattr(self.models.page, "predict_small_prescaled"):
+            if getattr(cfg.runtime, "fused_page_box", False) and \
+                    getattr(cfg.runtime, "textline_projection", False) and \
+                    hasattr(self.models.region,
+                            "predict_dual_tiled_resident_raw_fullfused"):
+                try:
+                    return self._device_phase_raw_fullfused(image,
+                                                            image_filename)
+                except Exception:
+                    LOG.warning("fully-fused device phase failed for %s; "
+                                "using the raw-resident path",
+                                image_filename, exc_info=True)
             if getattr(cfg.runtime, "device_page_box", False) and \
                     getattr(cfg.runtime, "textline_projection", False) and \
                     hasattr(self.models.page, "page_box_dev") and \
@@ -169,6 +180,58 @@ class TextlineDetector:
                             "using the standard path", image_filename,
                             exc_info=True)
         return self._device_phase_standard(image, image_filename)
+
+    def _device_phase_raw_fullfused(self, image: np.ndarray,
+                                    image_filename: str = "") -> _DeviceState:
+        """The whole page device phase as ONE dispatch
+        (runtime.fused_page_box): page-model input gather, page forward +
+        border-box decision, and the fused dual segmentation in a single
+        program from the resident raw page. Chain: raw upload -> one
+        dispatch -> one blob fetch. The upload is attributed to
+        page_extraction and the program to region_extraction so stage
+        keys stay comparable with the other paths."""
+        from sbb_textline_detection_tpu.utils import stagetime
+
+        cfg = self.config
+        t: Dict[str, float] = {}
+        dev: Dict[str, float] = {}
+        flops = 0.0
+        stagetime.reset()
+        t0 = time.time()
+        th, tw = stages.working_dims(image, cfg)
+        scaled = stages.LazyScaledImage(image, th, tw)
+        raw_dev = self.models.region.upload_raw(
+            image[:, :, 0] if _channels_identical(image) else image)
+        t["page_extraction"] = time.time() - t0
+        dev["page_extraction"], f = stagetime.snapshot()
+        flops += f
+
+        stagetime.reset()
+        t1 = time.time()
+        res = stages.extract_regions_and_textline_resident_raw_fullfused(
+            raw_dev, (th, tw), self.models, cfg, raw_hw=image.shape[:2])
+        if res is None:
+            raise RuntimeError("bundle cannot run the fully-fused path")
+        region_mask, textline_proj, textline_dev, box5 = res
+        by, bx, bh, bw, ok = (int(v) for v in box5)
+        if not ok:
+            LOG.warning("page-border detection found no printspace for "
+                        "%s; using the whole page (main.py:406-426 "
+                        "fallback)", image_filename)
+        page_coord = [by, by + bh, bx, bx + bw]
+        cont_page = np.array([[page_coord[2], page_coord[0]],
+                              [page_coord[3], page_coord[0]],
+                              [page_coord[3], page_coord[1]],
+                              [page_coord[2], page_coord[1]]])
+        t["region_extraction_model"] = time.time() - t1
+        dev["region_extraction"], f = stagetime.snapshot()
+        flops += f
+        t["textlines"] = 0.0
+        dev["textlines"] = 0.0
+        image_page = np.empty((bh, bw, 0), np.uint8)  # shape-only
+        return _DeviceState(image_filename, scaled, image_page, page_coord,
+                            cont_page, region_mask, None, t, dev,
+                            flops, textline_dev, textline_proj)
 
     def _device_phase_raw_headless(self, image: np.ndarray,
                                    image_filename: str = "") -> _DeviceState:
@@ -787,9 +850,28 @@ class TextlineDetector:
                 raw_dev, box5, (th, tw), self.models, cfg,
                 raw_hw=image.shape[:2])
 
+        def warm_fullfused():
+            """The one-dispatch page program (runtime.fused_page_box),
+            gray-plane raw shape for an (height, width) page."""
+            rt = cfg.runtime
+            region = self.models.region
+            if not (rt.resident_upload and getattr(rt, "raw_upload", False)
+                    and getattr(rt, "fused_page_box", False)
+                    and getattr(rt, "textline_projection", False)
+                    and hasattr(region,
+                                "predict_dual_tiled_resident_raw_fullfused")):
+                return
+            image = np.full((height, width, 3), 255, np.uint8)
+            th, tw = stages.working_dims(image, cfg)
+            raw_dev = region.upload_raw(image[:, :, 0])
+            stages.extract_regions_and_textline_resident_raw_fullfused(
+                raw_dev, (th, tw), self.models, cfg,
+                raw_hw=image.shape[:2])
+
         jobs = [("page_model", warm_page_model), ("dual_multi", warm_dual),
                 ("dual_single", warm_dual_single), ("deskew", warm_deskew),
-                ("headless", warm_headless)]
+                ("headless", warm_headless),
+                ("fullfused", warm_fullfused)]
         threads = [threading.Thread(target=timed(n, f), daemon=True)
                    for n, f in jobs]
         for t in threads:

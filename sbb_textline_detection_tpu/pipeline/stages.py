@@ -402,6 +402,36 @@ def extract_regions_and_textline_resident_raw_headless(
         post_morph=(("open", k, 1), ("close", k, 1)), raw_hw=raw_hw)
 
 
+def extract_regions_and_textline_resident_raw_fullfused(
+        raw_dev, scaled_hw, models: ModelBundle, cfg: PipelineConfig,
+        raw_hw):
+    """The whole page device phase as ONE dispatch
+    (runner.predict_dual_tiled_resident_raw_fullfused): page-model input
+    gather, page forward + border-box decision, and the fused dual
+    segmentation in a single program from the RESIDENT raw page. Returns
+    (region_mask, row_projection, textline_dev, box5) or None when the
+    bundle can't do it."""
+    region, textline, page = models.region, models.textline, models.page
+    if not (hasattr(region, "predict_dual_tiled_resident_raw_fullfused")
+            and hasattr(page, "input_hw")
+            and hasattr(page, "variables")
+            and hasattr(textline, "input_hw")
+            and getattr(region, "input_hw", None) == textline.input_hw):
+        return None
+    th, tw = scaled_hw
+    pmh, pmw = page.input_hw
+    sy = resize_ops.compose_nearest_indices(pmh, th, raw_hw[0])
+    sx = resize_ops.compose_nearest_indices(pmw, tw, raw_hw[1])
+    k = cfg.morphology.kernel_size
+    return region.predict_dual_tiled_resident_raw_fullfused(
+        textline, page, raw_dev, sy, sx, scaled_hw,
+        cfg.tiling.margin_ratio,
+        morph=(("erode", k, cfg.morphology.region_erode_iterations),
+               ("dilate", k, cfg.morphology.region_dilate_iterations)),
+        mask_class=cfg.region.text_class_value,
+        post_morph=(("open", k, 1), ("close", k, 1)), raw_hw=raw_hw)
+
+
 def region_contours_and_boxes(region_mask: np.ndarray, cfg: PipelineConfig
                               ) -> Tuple[List[np.ndarray], List[List[int]]]:
     """Text-region contours (main.py:465-481) from the shaped binary mask

@@ -439,3 +439,99 @@ def test_detector_headless_end_to_end_unchanged(duo):
     strip = lambda s: re.sub(rb"<Metadata>.*?</Metadata>", b"", s, flags=re.S)
     assert strip(ET.tostring(a.xml_tree.getroot())) == \
         strip(ET.tostring(b.xml_tree.getroot()))
+
+
+def test_fullfused_matches_headless(duo):
+    """The one-dispatch program (device small-input gather + inline page
+    forward/box + fused segmentation) must be bit-identical to the
+    headless two-dispatch chain (host small gather -> page_box_dev ->
+    fused program) for the same page model: the gathers use the same
+    composed nearest index maps and the box logic is the shared
+    _page_box_from_small."""
+    from sbb_textline_detection_tpu.ops import resize as resize_ops
+    from sbb_textline_detection_tpu.pipeline import stages
+
+    m_r, m_t = duo
+    page = m_r  # any SegmentationModel works as the page model
+    rng = np.random.default_rng(53)
+    raw = _scaled_page(rng, 200, 170)
+    th, tw = 160, 136
+    mh, mw = page.input_hw
+
+    small = stages.page_model_input_from_raw(raw, th, tw, mh, mw)
+    box5_dev = page.page_box_dev(small, th, tw)
+    want_region, want_proj, want_dev, want_box5 = \
+        m_r.predict_dual_tiled_resident_raw_headless(
+            m_t, m_r.upload_raw(raw), box5_dev, (th, tw),
+            morph=MORPH, mask_class=1, post_morph=POST,
+            raw_hw=raw.shape[:2])
+
+    sy = resize_ops.compose_nearest_indices(mh, th, raw.shape[0])
+    sx = resize_ops.compose_nearest_indices(mw, tw, raw.shape[1])
+    got_region, got_proj, got_dev, got_box5 = \
+        m_r.predict_dual_tiled_resident_raw_fullfused(
+            m_t, page, m_r.upload_raw(raw), sy, sx, (th, tw),
+            morph=MORPH, mask_class=1, post_morph=POST,
+            raw_hw=raw.shape[:2])
+
+    assert list(got_box5) == list(want_box5)
+    np.testing.assert_array_equal(got_region, want_region)
+    np.testing.assert_array_equal(got_proj, want_proj)
+    h, w = int(want_box5[2]), int(want_box5[3])
+    np.testing.assert_array_equal(np.asarray(got_dev)[:h, :w],
+                                  np.asarray(want_dev)[:h, :w])
+
+
+def test_detector_fullfused_end_to_end_unchanged(duo):
+    """Full detector run with runtime.fused_page_box on vs off: slopes,
+    contours, textlines, and the PAGE-XML must be identical, and the
+    equality must come from the fully-fused path (every fallback phase is
+    booby-trapped)."""
+    import dataclasses
+    import re
+    import xml.etree.ElementTree as ET
+
+    from sbb_textline_detection_tpu.core.config import (
+        DEFAULT_CONFIG, DeskewConfig, ResizePolicy)
+    from sbb_textline_detection_tpu.models.runner import ModelBundle
+    from sbb_textline_detection_tpu.pipeline.detector import TextlineDetector
+
+    m_r, m_t = duo
+    variables = registry.init_variables(TINY, seed=0)
+    page_m = runner.SegmentationModel(TINY, variables,
+                                      RuntimeConfig(batch_buckets=(2, 4, 8)))
+    bundle = ModelBundle(page_m, m_r, m_t)
+    rng = np.random.default_rng(47)
+    image = _scaled_page(rng, 210, 170)
+
+    def run(ff):
+        cfg = dataclasses.replace(
+            DEFAULT_CONFIG,
+            resize=ResizePolicy(300, 160, 1.0),
+            deskew=DeskewConfig(coarse_steps=6, vertical_steps=4),
+            runtime=dataclasses.replace(
+                DEFAULT_CONFIG.runtime, batch_buckets=(2, 4, 8),
+                deskew_canvas=256, fused_page_box=ff))
+        det = TextlineDetector(bundle, cfg)
+        if ff:
+            def boom(*a, **k):
+                raise AssertionError("fully-fused path fell back")
+            det._device_phase_raw_headless = boom
+            det._device_phase_raw = boom
+            det._device_phase_standard = boom
+        return det.process_image(image, "p.png")
+
+    a = run(False)
+    b = run(True)
+    assert a.page_coord == b.page_coord
+    assert a.slopes == b.slopes
+    assert len(a.contours) == len(b.contours)
+    for ca, cb in zip(a.contours, b.contours):
+        np.testing.assert_array_equal(ca, cb)
+    for la, lb in zip(a.textlines, b.textlines):
+        assert len(la) == len(lb)
+        for xa, xb in zip(la, lb):
+            np.testing.assert_array_equal(xa, xb)
+    strip = lambda s: re.sub(rb"<Metadata>.*?</Metadata>", b"", s, flags=re.S)
+    assert strip(ET.tostring(a.xml_tree.getroot())) == \
+        strip(ET.tostring(b.xml_tree.getroot()))
