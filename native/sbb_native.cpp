@@ -590,4 +590,87 @@ void sbb_points_in_polygon(const double* pts, int64_t n,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Row-structured points-in-polygon: the query set is the outer product of a
+// SORTED-ascending x grid (xv, nx) and a set of rows (rows, nrows) — exactly
+// the shape of the line separator's per-line x-extent queries
+// (main.py:780-791: 1000 x samples per candidate line row). Bit-identical to
+// sbb_points_in_polygon on the same points, but O(edges * nrows * log nx)
+// instead of O(edges * nrows * nx):
+//   * crossing counts use a lower_bound on xv (the comparison `px < xint` is
+//     the same float compare the scalar loop does) recorded in a per-row
+//     difference array;
+//   * on-edge tests solve |cross(px)| <= eps for its px interval, widen it
+//     conservatively, and re-run the EXACT scalar test only on the few
+//     candidate grid points inside.
+// out: (nrows * nx) uint8, row-major over rows.
+// ---------------------------------------------------------------------------
+void sbb_points_in_polygon_rows(const double* pts, int64_t n,
+                                const double* xv, int64_t nx,
+                                const double* rows, int64_t nrows,
+                                uint8_t* out) {
+  std::memset(out, 0, static_cast<size_t>(nrows * nx));
+  if (n < 1 || nx < 1 || nrows < 1) return;
+  std::vector<int32_t> diff(static_cast<size_t>(nrows) * (nx + 1), 0);
+  std::vector<uint8_t> on_edge(static_cast<size_t>(nrows) * nx, 0);
+  for (int64_t i = 0; i < n; ++i) {
+    const double x1 = pts[2 * i], y1 = pts[2 * i + 1];
+    const int64_t j = (i + 1) % n;
+    const double x2 = pts[2 * j], y2 = pts[2 * j + 1];
+    const double seg_len2 = (x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1);
+    const double eps = 1e-9 * std::max(seg_len2, 1.0);
+    const double xlo = std::min(x1, x2) - 1e-12, xhi = std::max(x1, x2) + 1e-12;
+    const double ylo = std::min(y1, y2) - 1e-12, yhi = std::max(y1, y2) + 1e-12;
+    const double dy = (y2 - y1) == 0.0 ? 1.0 : (y2 - y1);
+    for (int64_t r = 0; r < nrows; ++r) {
+      const double py = rows[r];
+      // crossing: same predicate and xint arithmetic as the scalar loop;
+      // `px < xint` over a sorted grid is a lower_bound
+      if ((y1 > py) != (y2 > py)) {
+        const double xint = x1 + (py - y1) * (x2 - x1) / dy;
+        const double* lb = std::lower_bound(xv, xv + nx, xint);
+        const int64_t idx = lb - xv;  // first k with xv[k] >= xint
+        if (idx > 0) {
+          ++diff[r * (nx + 1)];
+          --diff[r * (nx + 1) + idx];
+        }
+      }
+      // on-edge: candidate interval from the linear cross(px), widened, then
+      // the exact scalar test on each candidate
+      if (py < ylo || py > yhi) continue;
+      double cand_lo = xlo, cand_hi = xhi;
+      const double dyy = y2 - y1;
+      if (std::fabs(dyy) > 0.0) {
+        const double xc = x1 + (x2 - x1) * (py - y1) / dyy;
+        const double half = eps / std::fabs(dyy) + 1e-6 +
+                            1e-9 * (std::fabs(xc) + std::fabs(x1) +
+                                    std::fabs(x2));
+        cand_lo = std::max(cand_lo, xc - half);
+        cand_hi = std::min(cand_hi, xc + half);
+      } else {
+        // horizontal edge: cross is constant in px
+        const double cross0 = (x2 - x1) * (py - y1);
+        if (std::fabs(cross0) > eps) continue;
+      }
+      const int64_t k0 = std::lower_bound(xv, xv + nx, cand_lo) - xv;
+      for (int64_t k = k0; k < nx && xv[k] <= cand_hi; ++k) {
+        const double px = xv[k];
+        const double cross = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1);
+        if (std::fabs(cross) <= eps && px >= xlo && px <= xhi && py >= ylo &&
+            py <= yhi) {
+          on_edge[r * nx + k] = 1;
+        }
+      }
+    }
+  }
+  for (int64_t r = 0; r < nrows; ++r) {
+    int32_t acc = 0;
+    for (int64_t k = 0; k < nx; ++k) {
+      acc += diff[r * (nx + 1) + k];
+      out[r * nx + k] =
+          static_cast<uint8_t>(((acc & 1) != 0) || on_edge[r * nx + k]);
+    }
+  }
+}
+
 }  // extern "C"

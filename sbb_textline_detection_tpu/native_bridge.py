@@ -69,6 +69,10 @@ def load() -> Optional[ctypes.CDLL]:
         lib.sbb_points_in_polygon.restype = None
         lib.sbb_points_in_polygon.argtypes = [_p_f64, _i64, _p_f64, _p_f64,
                                               _i64, _p_u8]
+        if hasattr(lib, "sbb_points_in_polygon_rows"):
+            lib.sbb_points_in_polygon_rows.restype = None
+            lib.sbb_points_in_polygon_rows.argtypes = [
+                _p_f64, _i64, _p_f64, _i64, _p_f64, _i64, _p_u8]
         lib.sbb_rotate.restype = None
         lib.sbb_rotate.argtypes = [_p_f64, _i64, _i64, _i64,
                                    ctypes.c_double, ctypes.c_int, _p_f64]
@@ -187,6 +191,27 @@ def points_in_polygon(pts: np.ndarray, qx: np.ndarray,
     lib.sbb_points_in_polygon(pts.reshape(-1), pts.shape[0], qx, qy,
                               qx.shape[0], out)
     return out.astype(bool)
+
+
+def points_in_polygon_rows(pts: np.ndarray, xv: np.ndarray,
+                           rows: np.ndarray) -> Optional[np.ndarray]:
+    """(nrows, nx) boolean mask: grid points (rows x SORTED-ascending xv)
+    inside-or-on the polygon. Bit-identical to points_in_polygon on the
+    same outer-product points but O(edges * nrows * log nx) — the line
+    separator's x-extent shape (main.py:780-791). Returns None when the
+    library lacks the kernel or xv isn't sorted (callers fall back)."""
+    lib = load()
+    if lib is None or not hasattr(lib, "sbb_points_in_polygon_rows"):
+        return None
+    xv = np.ascontiguousarray(np.asarray(xv, np.float64).ravel())
+    if xv.size > 1 and np.any(np.diff(xv) < 0):
+        return None
+    pts = np.ascontiguousarray(np.asarray(pts, np.float64).reshape(-1, 2))
+    rows = np.ascontiguousarray(np.asarray(rows, np.float64).ravel())
+    out = np.empty(rows.size * xv.size, dtype=np.uint8)
+    lib.sbb_points_in_polygon_rows(pts.reshape(-1), pts.shape[0], xv,
+                                   xv.size, rows, rows.size, out)
+    return out.astype(bool).reshape(rows.size, xv.size)
 
 
 def label_stats(labels: np.ndarray, n: int) -> Tuple[np.ndarray, np.ndarray]:

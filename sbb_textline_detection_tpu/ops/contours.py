@@ -215,6 +215,28 @@ def points_in_polygon(pts: np.ndarray, qx: np.ndarray, qy: np.ndarray) -> np.nda
     return points_in_polygon_host(pts, qx, qy)
 
 
+def points_in_polygon_rows(pts: np.ndarray, xv: np.ndarray,
+                           rows: np.ndarray) -> np.ndarray:
+    """points_in_polygon over the outer product of a sorted x grid and a
+    set of rows, as a (nrows, nx) boolean mask — the line separator's
+    per-line x-extent shape (main.py:780-791). Uses the row-structured
+    native kernel (O(edges * nrows * log nx)); falls back to the generic
+    path on any shortfall. Bit-identical either way."""
+    from sbb_textline_detection_tpu import native_bridge
+
+    pts = np.asarray(pts)
+    xv = np.asarray(xv)
+    rows = np.asarray(rows)
+    if native_bridge.available() and len(pts) >= 1:
+        out = native_bridge.points_in_polygon_rows(pts, xv, rows)
+        if out is not None:
+            return out
+    grid_x = np.tile(xv, rows.size)
+    grid_y = np.repeat(rows, xv.size)
+    return points_in_polygon(pts, grid_x, grid_y).reshape(rows.size,
+                                                          xv.size)
+
+
 def points_in_polygon_host(pts: np.ndarray, qx: np.ndarray,
                            qy: np.ndarray) -> np.ndarray:
     """Pure-numpy points_in_polygon (parity oracle for the native path)."""

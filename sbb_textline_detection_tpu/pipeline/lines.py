@@ -133,15 +133,6 @@ def _smooth_and_find(y_padded: np.ndarray, sigma: int, cfg: LineSplitConfig):
     return yps, upd_padded, peaks, peaks_neg
 
 
-def _x_extent(contour: np.ndarray, xv: np.ndarray, row: float,
-              x_min_cont: float, x_max_cont: float):
-    inside = contour_ops.points_in_polygon(contour, xv, np.full_like(xv, row))
-    xvinside = xv[inside]
-    if xvinside.size == 0:
-        return x_min_cont, x_max_cont
-    return float(np.min(xvinside)), float(np.max(xvinside))
-
-
 class _ExtentCache:
     """Batch the per-line x-extent queries of one region: every emitted
     line samples the same contour at 1000 x positions (main.py:780-791);
@@ -154,10 +145,7 @@ class _ExtentCache:
         rows = np.asarray(sorted(set(float(r) for r in rows)))
         if rows.size == 0 or len(np.asarray(contour)) < 3:
             return
-        grid_x = np.tile(xv, rows.size)
-        grid_y = np.repeat(rows, xv.size)
-        inside = contour_ops.points_in_polygon(
-            contour, grid_x, grid_y).reshape(rows.size, xv.size)
+        inside = contour_ops.points_in_polygon_rows(contour, xv, rows)
         for i, r in enumerate(rows):
             xs = xv[inside[i]]
             self.extents[float(r)] = (

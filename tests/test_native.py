@@ -248,3 +248,45 @@ def test_points_in_polygon_native_matches_numpy(nb):
     got = nb.points_in_polygon(poly, gx.ravel(), gy.ravel())
     ref = cops.points_in_polygon_host(poly, gx.ravel(), gy.ravel())
     np.testing.assert_array_equal(got, ref)
+
+
+def test_points_in_polygon_rows_matches_generic(nb):
+    from sbb_textline_detection_tpu.ops import contours as cops
+    # random float polygons x sorted grids
+    for _ in range(25):
+        n_v = int(RNG.integers(3, 40))
+        poly = RNG.uniform(0, 100, (n_v, 2))
+        xv = np.sort(RNG.uniform(-10, 110, 200))
+        rows = RNG.uniform(-10, 110, 12)
+        got = cops.points_in_polygon_rows(poly, xv, rows)
+        grid_x = np.tile(xv, rows.size)
+        grid_y = np.repeat(rows, xv.size)
+        ref = nb.points_in_polygon(poly, grid_x, grid_y).reshape(
+            rows.size, xv.size)
+        np.testing.assert_array_equal(got, ref)
+    # integer-lattice contour (the production shape: traced region
+    # contours are integer points; rows land exactly on edge y's and the
+    # x grid contains exact vertex x's -> dense on-edge boundary cases)
+    poly = np.array([[2.0, 2.0], [20.0, 2.0], [24.0, 9.0], [20.0, 15.0],
+                     [2.0, 15.0], [0.0, 8.0]])
+    xv = np.arange(-2.0, 27.0)
+    rows = np.arange(-1.0, 18.0)
+    got = cops.points_in_polygon_rows(poly, xv, rows)
+    grid_x = np.tile(xv, rows.size)
+    grid_y = np.repeat(rows, xv.size)
+    ref = nb.points_in_polygon(poly, grid_x, grid_y).reshape(rows.size,
+                                                             xv.size)
+    np.testing.assert_array_equal(got, ref)
+    ref_np = cops.points_in_polygon_host(poly, grid_x, grid_y).reshape(
+        rows.size, xv.size)
+    np.testing.assert_array_equal(got, ref_np)
+    # linspace grid like the separator's 1000-sample x sweep
+    poly = np.array([[0.0, 0.0], [999.0, 3.0], [980.0, 400.0],
+                     [10.0, 380.0]])
+    xv = np.linspace(0.0, 999.0, 1000)
+    rows = np.array([0.0, 3.0, 17.5, 380.0, 400.0, 200.0])
+    got = cops.points_in_polygon_rows(poly, xv, rows)
+    ref = nb.points_in_polygon(poly, np.tile(xv, rows.size),
+                               np.repeat(rows, xv.size)).reshape(
+        rows.size, xv.size)
+    np.testing.assert_array_equal(got, ref)
