@@ -18,8 +18,6 @@
 #include <algorithm>
 #include <vector>
 
-extern "C" {
-
 // ---------------------------------------------------------------------------
 // Moore boundary tracing (parity with ops/contours.py::_trace_moore).
 // mask: (h, w) uint8 crop of ONE component; (sy, sx) its row-major-first
@@ -30,12 +28,10 @@ extern "C" {
 static const int MOORE_DX[8] = {-1, -1, 0, 1, 1, 1, 0, -1};
 static const int MOORE_DY[8] = {0, -1, -1, -1, 0, 1, 1, 1};
 
-int64_t sbb_trace_moore(const uint8_t* mask, int64_t h, int64_t w,
-                        int64_t sy, int64_t sx,
-                        int64_t* out_xy, int64_t max_pts) {
-  auto fg = [&](int64_t y, int64_t x) -> bool {
-    return y >= 0 && y < h && x >= 0 && x < w && mask[y * w + x] != 0;
-  };
+template <typename FG>
+static int64_t trace_moore_impl(FG fg, int64_t h, int64_t w,
+                                int64_t sy, int64_t sx,
+                                int64_t* out_xy, int64_t max_pts) {
   // Visited state = (pixel, backtrack dir): 8 bits per pixel.
   std::vector<uint8_t> seen(static_cast<size_t>(h) * w, 0);
 
@@ -80,6 +76,33 @@ int64_t sbb_trace_moore(const uint8_t* mask, int64_t h, int64_t w,
     ++n;
   }
   return n;
+}
+
+extern "C" {
+
+int64_t sbb_trace_moore(const uint8_t* mask, int64_t h, int64_t w,
+                        int64_t sy, int64_t sx,
+                        int64_t* out_xy, int64_t max_pts) {
+  auto fg = [&](int64_t y, int64_t x) -> bool {
+    return y >= 0 && y < h && x >= 0 && x < w && mask[y * w + x] != 0;
+  };
+  return trace_moore_impl(fg, h, w, sy, sx, out_xy, max_pts);
+}
+
+// Trace a component's boundary DIRECTLY in the (full-size) int32 label map:
+// the (h, w) window at (y0, x0) of a row-stride `stride` map, foreground =
+// (label == li). Spares the caller the per-component `crop == li`
+// materialization (1-2 ms for a full text region). Output coordinates are
+// window-relative, like sbb_trace_moore on the crop.
+int64_t sbb_trace_moore_label(const int32_t* labels, int64_t stride,
+                              int64_t y0, int64_t x0, int64_t h, int64_t w,
+                              int64_t sy, int64_t sx, int32_t li,
+                              int64_t* out_xy, int64_t max_pts) {
+  auto fg = [&](int64_t y, int64_t x) -> bool {
+    return y >= 0 && y < h && x >= 0 && x < w &&
+           labels[(y0 + y) * stride + (x0 + x)] == li;
+  };
+  return trace_moore_impl(fg, h, w, sy, sx, out_xy, max_pts);
 }
 
 // ---------------------------------------------------------------------------

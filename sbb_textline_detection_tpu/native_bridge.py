@@ -53,6 +53,11 @@ def load() -> Optional[ctypes.CDLL]:
         lib.sbb_trace_moore.restype = _i64
         lib.sbb_trace_moore.argtypes = [_p_u8, _i64, _i64, _i64, _i64,
                                         _p_i64, _i64]
+        if hasattr(lib, "sbb_trace_moore_label"):
+            lib.sbb_trace_moore_label.restype = _i64
+            lib.sbb_trace_moore_label.argtypes = [
+                _p_i32, _i64, _i64, _i64, _i64, _i64, _i64, _i64,
+                ctypes.c_int32, _p_i64, _i64]
         lib.sbb_label_components.restype = _i64
         lib.sbb_label_components.argtypes = [_p_u8, _i64, _i64, _p_i32]
         lib.sbb_label_stats.restype = None
@@ -113,6 +118,29 @@ def trace_moore(mask_u8: np.ndarray, sy: int, sx: int) -> np.ndarray:
         cap *= 4
         if cap > 8 * h * w + 64:
             raise RuntimeError("trace_moore capacity blowup")
+
+
+def trace_moore_label(labels: np.ndarray, y0: int, x0: int, h: int, w: int,
+                      sy: int, sx: int, li: int) -> Optional[np.ndarray]:
+    """(N, 2) int64 (x, y) window-relative boundary chain of component
+    `li`, traced DIRECTLY in the int32 label map's (h, w) window at
+    (y0, x0) — no `crop == li` materialization. None when the library
+    lacks the kernel."""
+    lib = load()
+    if lib is None or not hasattr(lib, "sbb_trace_moore_label"):
+        return None
+    labels = np.ascontiguousarray(labels, dtype=np.int32)
+    stride = labels.shape[1]
+    cap = 4 * (h + w) + 16
+    while True:
+        out = np.empty((cap, 2), dtype=np.int64)
+        n = lib.sbb_trace_moore_label(labels, stride, y0, x0, h, w, sy, sx,
+                                      li, out.reshape(-1), cap)
+        if n >= 0:
+            return out[:n]
+        cap *= 4
+        if cap > 8 * h * w + 64:
+            raise RuntimeError("trace_moore_label capacity blowup")
 
 
 def label_components(mask: np.ndarray) -> Tuple[np.ndarray, int]:

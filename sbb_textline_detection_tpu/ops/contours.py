@@ -112,14 +112,22 @@ def _find_contours_native(mask: np.ndarray, simplify: bool) -> List[np.ndarray]:
     out: List[np.ndarray] = []
     if n == 0:
         return out
+    in_place = native_bridge.load() is not None and hasattr(
+        native_bridge.load(), "sbb_trace_moore_label")
     for li in range(1, n + 1):
         x0, y0, x1, y1 = boxes[li - 1]
         if x1 < 0:
             continue
-        crop = (labels[y0:y1 + 1, x0:x1 + 1] == li).astype(np.uint8)
         sy = int(seeds[li - 1][0] - y0)
         sx = int(seeds[li - 1][1] - x0)
-        chain = native_bridge.trace_moore(crop, sy, sx)
+        if in_place:
+            # trace directly in the label map: no per-component crop copy
+            chain = native_bridge.trace_moore_label(
+                labels, int(y0), int(x0), int(y1 - y0 + 1),
+                int(x1 - x0 + 1), sy, sx, li)
+        else:
+            crop = (labels[y0:y1 + 1, x0:x1 + 1] == li).astype(np.uint8)
+            chain = native_bridge.trace_moore(crop, sy, sx)
         chain = chain + np.array([[x0, y0]])
         if simplify:
             chain = _compress_chain(chain)
@@ -136,9 +144,12 @@ def find_contours(mask: np.ndarray, simplify: bool = True) -> List[np.ndarray]:
     """
     from sbb_textline_detection_tpu import native_bridge
 
-    mask = np.asarray(mask) != 0
+    mask = np.asarray(mask)
     if native_bridge.available() and _native_tracer is None:
+        # the bridge binarizes into its scratch buffer itself — no
+        # full-page `!= 0` temporary here
         return _find_contours_native(mask, simplify)
+    mask = mask != 0
     labels, n = label_components(mask)
     out: List[np.ndarray] = []
     if n == 0:
