@@ -614,6 +614,25 @@ void sbb_points_in_polygon(const double* pts, int64_t n,
 }
 
 // ---------------------------------------------------------------------------
+// Symmetric-kernel 1-D correlation on a pre-padded (reflect) signal —
+// BIT-exact with ops/profiles.py::gaussian_filter1d_host (itself bit-exact
+// with scipy's ni_correlate1d): per element, center tap first, then
+// (left + right) * weight pairs added farthest-first. The accumulation
+// order is the contract — find_peaks tie-breaking depends on it.
+// ypad: n + 2*radius doubles; w: 2*radius + 1 taps; out: n doubles.
+// ---------------------------------------------------------------------------
+void sbb_correlate1d_sym(const double* ypad, int64_t n, const double* w,
+                         int64_t radius, double* out) {
+  for (int64_t i = 0; i < n; ++i) {
+    double acc = ypad[i + radius] * w[radius];
+    for (int64_t j = radius; j >= 1; --j) {
+      acc += (ypad[i + radius - j] + ypad[i + radius + j]) * w[radius - j];
+    }
+    out[i] = acc;
+  }
+}
+
+// ---------------------------------------------------------------------------
 // Row-structured points-in-polygon: the query set is the outer product of a
 // SORTED-ascending x grid (xv, nx) and a set of rows (rows, nrows) — exactly
 // the shape of the line separator's per-line x-extent queries

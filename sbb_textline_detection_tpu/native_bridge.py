@@ -78,6 +78,10 @@ def load() -> Optional[ctypes.CDLL]:
             lib.sbb_points_in_polygon_rows.restype = None
             lib.sbb_points_in_polygon_rows.argtypes = [
                 _p_f64, _i64, _p_f64, _i64, _p_f64, _i64, _p_u8]
+        if hasattr(lib, "sbb_correlate1d_sym"):
+            lib.sbb_correlate1d_sym.restype = None
+            lib.sbb_correlate1d_sym.argtypes = [_p_f64, _i64, _p_f64,
+                                                _i64, _p_f64]
         lib.sbb_rotate.restype = None
         lib.sbb_rotate.argtypes = [_p_f64, _i64, _i64, _i64,
                                    ctypes.c_double, ctypes.c_int, _p_f64]
@@ -118,6 +122,22 @@ def trace_moore(mask_u8: np.ndarray, sy: int, sx: int) -> np.ndarray:
         cap *= 4
         if cap > 8 * h * w + 64:
             raise RuntimeError("trace_moore capacity blowup")
+
+
+def correlate1d_sym(ypad: np.ndarray, n: int,
+                    w: np.ndarray) -> Optional[np.ndarray]:
+    """Symmetric-kernel 1-D correlation on the pre-padded signal —
+    bit-exact with the numpy farthest-first loop in
+    ops/profiles.gaussian_filter1d_host. None when unavailable."""
+    lib = load()
+    if lib is None or not hasattr(lib, "sbb_correlate1d_sym"):
+        return None
+    ypad = np.ascontiguousarray(ypad, dtype=np.float64)
+    w = np.ascontiguousarray(w, dtype=np.float64)
+    radius = (w.size - 1) // 2
+    out = np.empty(n, dtype=np.float64)
+    lib.sbb_correlate1d_sym(ypad, n, w, radius, out)
+    return out
 
 
 def trace_moore_label(labels: np.ndarray, y0: int, x0: int, h: int, w: int,

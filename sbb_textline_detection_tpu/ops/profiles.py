@@ -61,6 +61,15 @@ def gaussian_filter1d_host(y: np.ndarray, sigma: float, truncate: float = 4.0) -
     n = y.shape[0]
     # scipy 'reflect' == numpy 'symmetric' (edge value repeated):  d c b a | a b c d
     ypad = np.pad(y, radius, mode="symmetric")
+    from sbb_textline_detection_tpu import native_bridge
+
+    if native_bridge.available():
+        # same farthest-first accumulation in C (bit-exact; the Makefile
+        # builds sbb_native.cpp with -ffp-contract=off) without ~radius
+        # numpy passes
+        out = native_bridge.correlate1d_sym(ypad, n, w)
+        if out is not None:
+            return out
     out = ypad[radius:radius + n] * w[radius]
     for j in range(radius, 0, -1):
         out += (ypad[radius - j:radius - j + n]

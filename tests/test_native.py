@@ -290,3 +290,20 @@ def test_points_in_polygon_rows_matches_generic(nb):
                                np.repeat(rows, xv.size)).reshape(
         rows.size, xv.size)
     np.testing.assert_array_equal(got, ref)
+
+
+def test_correlate1d_sym_bit_exact(nb):
+    from sbb_textline_detection_tpu.ops import profiles
+
+    for sigma in (2.0, 3.0, 7.4, 12.0, 31.0, 55.5):
+        w = profiles.gaussian_kernel1d(sigma)
+        radius = (w.size - 1) // 2
+        for n in (5, 64, 700, 3001):
+            y = RNG.uniform(0, 1e4, n)
+            ypad = np.pad(y, radius, mode="symmetric")
+            got = nb.correlate1d_sym(ypad, n, w)
+            want = ypad[radius:radius + n] * w[radius]
+            for j in range(radius, 0, -1):
+                want = want + (ypad[radius - j:radius - j + n]
+                               + ypad[radius + j:radius + j + n]) * w[radius - j]
+            np.testing.assert_array_equal(got, want)
