@@ -27,6 +27,7 @@ TPU-native replacement for the reference's `do_prediction`
 from __future__ import annotations
 
 import functools
+import threading
 from typing import Optional, Tuple
 
 import jax
@@ -45,6 +46,21 @@ from sbb_textline_detection_tpu.utils import stagetime
 # Post-prediction morphology fused into the device program:
 # tuple of ("erode"|"dilate", kernel_size, iterations).
 MorphSpec = Tuple[Tuple[str, int, int], ...]
+
+
+def _serialize_compiles(fn):
+    """Hold the model's compile lock for the whole cached-compile helper:
+    process_batch runs device_phase_workers concurrent device phases, and
+    two workers missing the same cold cache key would otherwise both pay
+    the 10-30 s compile AND the 5-30 s first-dispatch program load. The
+    guarded helpers only compile (no dispatches), so the lock never
+    serializes device work; cache hits pay one dict lookup under an
+    uncontended RLock."""
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        with self._compile_lock:
+            return fn(self, *args, **kwargs)
+    return wrapper
 
 
 def _page_box_from_small(module, variables, img_u8, th, tw):
@@ -138,6 +154,7 @@ class SegmentationModel:
         self.mesh = mesh
         self._module = registry.build_module(spec)
         self._tiled_cache = {}
+        self._compile_lock = threading.RLock()
         _validate_variables(self._module, spec, variables)
         # Pin weights on device once: numpy leaves would re-upload the full
         # parameter set on EVERY dispatch (~2.5s/call over the tunnel).
@@ -227,9 +244,12 @@ class SegmentationModel:
                 padded = chunk
             entry = self._labels_cache.get(padded.shape)
             if entry is None:
-                entry = self._aot(self._forward_labels_jit, self.variables,
-                                  padded)
-                self._labels_cache[padded.shape] = entry
+                with self._compile_lock:
+                    entry = self._labels_cache.get(padded.shape)
+                    if entry is None:
+                        entry = self._aot(self._forward_labels_jit,
+                                          self.variables, padded)
+                        self._labels_cache[padded.shape] = entry
             compiled, flops = entry
             with stagetime.device_section(flops):
                 labels = np.asarray(compiled(self.variables, padded))
@@ -255,8 +275,10 @@ class SegmentationModel:
             raise ValueError(f"expected {(mh, mw)} input, got "
                              f"{small_u8.shape[:2]}")
         if self._whole_compiled is None:
-            self._whole_compiled = self._aot(
-                self._forward_whole_jit, self.variables, small_u8)
+            with self._compile_lock:
+                if self._whole_compiled is None:
+                    self._whole_compiled = self._aot(
+                        self._forward_whole_jit, self.variables, small_u8)
         compiled, flops = self._whole_compiled
         with stagetime.device_section(flops):
             packed = np.asarray(compiled(self.variables,
@@ -278,10 +300,13 @@ class SegmentationModel:
             raise ValueError(f"expected {(mh, mw)} input, got "
                              f"{small_u8.shape[:2]}")
         if self._box_compiled is None:
-            dims_ex = jax.ShapeDtypeStruct((2,), jnp.int32)
-            small_ex = jax.ShapeDtypeStruct((mh, mw, 3), jnp.uint8)
-            self._box_compiled = self._aot(
-                self._forward_box_jit, self.variables, small_ex, dims_ex)
+            with self._compile_lock:
+                if self._box_compiled is None:
+                    dims_ex = jax.ShapeDtypeStruct((2,), jnp.int32)
+                    small_ex = jax.ShapeDtypeStruct((mh, mw, 3), jnp.uint8)
+                    self._box_compiled = self._aot(
+                        self._forward_box_jit, self.variables, small_ex,
+                        dims_ex)
         compiled, flops = self._box_compiled
         # dispatch-only: flops accrue here, the wait happens at the fused
         # program's blob fetch downstream
@@ -302,9 +327,12 @@ class SegmentationModel:
         k = smalls.shape[0]
         entry = self._whole_batch_compiled.get(k)
         if entry is None:
-            entry = self._aot(self._forward_whole_batch_jit, self.variables,
-                              smalls)
-            self._whole_batch_compiled[k] = entry
+            with self._compile_lock:
+                entry = self._whole_batch_compiled.get(k)
+                if entry is None:
+                    entry = self._aot(self._forward_whole_batch_jit,
+                                      self.variables, smalls)
+                    self._whole_batch_compiled[k] = entry
         compiled, flops = entry
         with stagetime.device_section(flops):
             packed = np.asarray(compiled(self.variables, jnp.asarray(smalls)))
@@ -1131,6 +1159,7 @@ class SegmentationModel:
                 out.append((region, textline))
         return out
 
+    @_serialize_compiles
     def _dual_tiled_resident_fn(self, other: "SegmentationModel", k: int,
                                 ny: int, nx: int, margin: int,
                                 stacked_shape, morph: MorphSpec,
@@ -1336,6 +1365,7 @@ class SegmentationModel:
         self._tiled_cache[key] = entry
         return entry
 
+    @_serialize_compiles
     def _dual_tiled_multi_fn(self, other: "SegmentationModel", k: int,
                              ny: int, nx: int, margin: int, morph: MorphSpec,
                              mask_class: Optional[int],
@@ -1439,6 +1469,7 @@ class SegmentationModel:
         self._tiled_cache[key] = entry
         return entry
 
+    @_serialize_compiles
     def _dual_tiled_fn(self, other: "SegmentationModel", ny: int, nx: int,
                        margin: int, morph: MorphSpec,
                        mask_class: Optional[int], post_morph: MorphSpec,

@@ -79,11 +79,22 @@ _BUCKETS = (256, 512, 1024, 1536, 2048)
 # object avoids jit's separate lower-on-call path and exposes each
 # program's XLA FLOPs for the stage ledger.
 _AOT_CACHE: dict = {}
+# Serializes cache-miss compiles: warm_up and process_batch run compile
+# helpers from parallel threads; two threads missing the same key must not
+# both compile + first-dispatch-load the identical program.
+_AOT_LOCK = __import__("threading").RLock()
 
 
 def _aot_radon_score(canv_shape, n_angles: int, f_pad: int, s: int,
                      chunk: int, use_pallas: bool):
     key = (canv_shape, n_angles, f_pad, s, chunk, use_pallas)
+    with _AOT_LOCK:
+        return _aot_radon_score_locked(key, canv_shape, n_angles, f_pad, s,
+                                       chunk, use_pallas)
+
+
+def _aot_radon_score_locked(key, canv_shape, n_angles, f_pad, s, chunk,
+                            use_pallas):
     entry = _AOT_CACHE.get(key)
     if entry is None:
         r = canv_shape[0]
@@ -556,6 +567,19 @@ class DeskewEngine:
         entry = _AOT_CACHE.get(key)
         if entry is not None:
             return entry
+        with _AOT_LOCK:
+            return self._resident_fn_locked(key, mask_shape, s, B, bufH,
+                                            bufW, ac_n, av_n, chunk,
+                                            use_pallas, cfg)
+
+    def _resident_fn_locked(self, key, mask_shape, s, B, bufH, bufW, ac_n,
+                            av_n, chunk, use_pallas, cfg):
+        entry = _AOT_CACHE.get(key)
+        if entry is not None:
+            return entry
+        a_all = ac_n + av_n
+        f = B * a_all
+        f_pad = ((f + chunk - 1) // chunk) * chunk
 
         erode_eff = (self._erode_k - 1) * self._erode_it + 1
         morph_k = self._morph_k

@@ -107,6 +107,28 @@ class _DeviceState:
         return np.asarray(self.textline_dev)[:h, :w]
 
 
+def _page_quad(page_coord):
+    """cont_page corner quad from [y0, y1, x0, x1] (main.py:409-426)."""
+    return np.array([[page_coord[2], page_coord[0]],
+                     [page_coord[3], page_coord[0]],
+                     [page_coord[3], page_coord[1]],
+                     [page_coord[2], page_coord[1]]])
+
+
+def _box5_page_coords(box5, image_filename):
+    """(page_coord, cont_page, bh, bw) from a device [by,bx,h,w,valid]
+    box — shared by the headless and fully-fused phases so the coord
+    convention (incl. the main.py:406-426 whole-page fallback) lives in
+    one place."""
+    by, bx, bh, bw, ok = (int(v) for v in box5)
+    if not ok:
+        LOG.warning("page-border detection found no printspace for "
+                    "%s; using the whole page (main.py:406-426 "
+                    "fallback)", image_filename)
+    page_coord = [by, by + bh, bx, bx + bw]
+    return page_coord, _page_quad(page_coord), bh, bw
+
+
 def _split_fused(masks):
     """(region_mask, textline_mask, textline_dev, textline_proj) from a
     fused-path per-page tuple: 2-tuple = classic, 3-tuple = +device
@@ -213,16 +235,8 @@ class TextlineDetector:
         if res is None:
             raise RuntimeError("bundle cannot run the fully-fused path")
         region_mask, textline_proj, textline_dev, box5 = res
-        by, bx, bh, bw, ok = (int(v) for v in box5)
-        if not ok:
-            LOG.warning("page-border detection found no printspace for "
-                        "%s; using the whole page (main.py:406-426 "
-                        "fallback)", image_filename)
-        page_coord = [by, by + bh, bx, bx + bw]
-        cont_page = np.array([[page_coord[2], page_coord[0]],
-                              [page_coord[3], page_coord[0]],
-                              [page_coord[3], page_coord[1]],
-                              [page_coord[2], page_coord[1]]])
+        page_coord, cont_page, bh, bw = _box5_page_coords(box5,
+                                                          image_filename)
         t["region_extraction_model"] = time.time() - t1
         dev["region_extraction"], f = stagetime.snapshot()
         flops += f
@@ -270,16 +284,8 @@ class TextlineDetector:
         if res is None:
             raise RuntimeError("bundle cannot run the headless path")
         region_mask, textline_proj, textline_dev, box5 = res
-        by, bx, bh, bw, ok = (int(v) for v in box5)
-        if not ok:
-            LOG.warning("page-border detection found no printspace for "
-                        "%s; using the whole page (main.py:406-426 "
-                        "fallback)", image_filename)
-        page_coord = [by, by + bh, bx, bx + bw]
-        cont_page = np.array([[page_coord[2], page_coord[0]],
-                              [page_coord[3], page_coord[0]],
-                              [page_coord[3], page_coord[1]],
-                              [page_coord[2], page_coord[1]]])
+        page_coord, cont_page, bh, bw = _box5_page_coords(box5,
+                                                          image_filename)
         t["region_extraction_model"] = time.time() - t1
         dev["region_extraction"], f = stagetime.snapshot()
         flops += f
@@ -320,10 +326,7 @@ class TextlineDetector:
             # quirk included)
             box = [0, 0, tw - 1, th - 1]
         page_coord = [box[1], box[1] + box[3], box[0], box[0] + box[2]]
-        cont_page = np.array([[page_coord[2], page_coord[0]],
-                              [page_coord[3], page_coord[0]],
-                              [page_coord[3], page_coord[1]],
-                              [page_coord[2], page_coord[1]]])
+        cont_page = _page_quad(page_coord)
         t["page_extraction"] = time.time() - t0
         dev["page_extraction"], f = stagetime.snapshot()
         flops += f
@@ -447,7 +450,7 @@ class TextlineDetector:
                 flops += f
         return _DeviceState(image_filename, scaled, image_page, page_coord,
                             cont_page, region_mask, textline_mask, t, dev,
-                            flops, textline_dev)
+                            flops, textline_dev, textline_proj)
 
     def device_phase_group(self, items) -> List[_DeviceState]:
         """Device phase for a group of pages with the segmentation passes of
@@ -643,7 +646,8 @@ class TextlineDetector:
                     contours, boxes, st.textline_mask, cfg, self.deskew,
                     textline_dev=st.textline_dev,
                     deskew_handle=pre.get("handle") if pre else None,
-                    textline_mask_fetch=st.textline_mask_or_fetch)
+                    textline_mask_fetch=st.textline_mask_or_fetch,
+                    deskew_attempted=pre is not None)
                 t["deskew"] = time.time() - t3
                 dev["deskew"], f = stagetime.snapshot()
                 flops += f
@@ -738,28 +742,42 @@ class TextlineDetector:
             if group > 1:
                 stages.extract_page(scaled, self.models, cfg)
 
+        # warm the program VARIANTS production dispatches: the resident
+        # program cache is keyed on (keep_dev, proj, raw_shape, ...) —
+        # warming the default-kwarg variant would load a program no real
+        # page ever runs
+        keep_dev = bool(cfg.runtime.resident_deskew)
+        tp = keep_dev and getattr(cfg.runtime, "textline_projection", False)
+
+        def _warm_crop_w(region):
+            # a box whose (ny, nx) lands on the grid bucket real page
+            # crops use (an A4 crop is narrower than the full scaled
+            # width)
+            return min(page_img.shape[1],
+                       8 * (region.input_hw[1]
+                            - 2 * int(cfg.tiling.margin_ratio
+                                      * region.input_hw[1])))
+
         def warm_dual():
             if group <= 1:
                 return
             region = self.models.region
             if hasattr(region, "upload_canvas"):
-                # the resident program is what the batch path dispatches;
-                # pick a box whose (ny, nx) lands on the grid bucket real
-                # page crops use (an A4 crop is narrower than the full
-                # scaled width)
+                # the resident program is what the batch path dispatches
                 canvases = [region.upload_canvas(page_img,
                                                  cfg.tiling.margin_ratio)
                             for _ in range(group)]
                 h = page_img.shape[0]
-                w = min(page_img.shape[1],
-                        8 * (region.input_hw[1]
-                             - 2 * int(cfg.tiling.margin_ratio
-                                       * region.input_hw[1])))
+                w = _warm_crop_w(region)
                 stages.extract_regions_and_textline_resident(
-                    canvases, [[0, 0, h, w]] * group, self.models, cfg)
+                    canvases, [[0, 0, h, w]] * group, self.models, cfg,
+                    return_device_textline=keep_dev,
+                    textline_projection=tp)
             else:
                 stages.extract_regions_and_textline_multi(
-                    [page_img] * group, self.models, cfg)
+                    [page_img] * group, self.models, cfg,
+                    return_device_textline=keep_dev,
+                    textline_projection=tp)
 
         def warm_dual_single():
             region = self.models.region
@@ -768,15 +786,39 @@ class TextlineDetector:
                 canvas = region.upload_canvas(page_img,
                                               cfg.tiling.margin_ratio)
                 h = page_img.shape[0]
-                w = min(page_img.shape[1],
-                        8 * (region.input_hw[1]
-                             - 2 * int(cfg.tiling.margin_ratio
-                                       * region.input_hw[1])))
+                w = _warm_crop_w(region)
                 stages.extract_regions_and_textline_resident(
-                    [canvas], [[0, 0, h, w]], self.models, cfg)
+                    [canvas], [[0, 0, h, w]], self.models, cfg,
+                    return_device_textline=keep_dev,
+                    textline_projection=tp)
             else:
-                stages.extract_regions_and_textline(page_img, self.models,
-                                                    cfg)
+                stages.extract_regions_and_textline(
+                    page_img, self.models, cfg,
+                    return_device_textline=keep_dev,
+                    textline_projection=tp)
+
+        def warm_raw_single():
+            """The production single-page path (runtime.raw_upload): the
+            raw-resident fused program at the A4-crop grid bucket with the
+            production (keep_dev, proj) variant. The fetch-free paths
+            (device_page_box / fused_page_box) have their own jobs."""
+            rt = cfg.runtime
+            region = self.models.region
+            if not (rt.resident_upload and getattr(rt, "raw_upload", False)
+                    and hasattr(region,
+                                "predict_dual_tiled_resident_raw")):
+                return
+            if getattr(rt, "fused_page_box", False) or \
+                    getattr(rt, "device_page_box", False):
+                return
+            image = np.full((height, width, 3), 255, np.uint8)
+            th, tw = stages.working_dims(image, cfg)
+            raw_dev = region.upload_raw(image[:, :, 0])
+            w = min(tw, _warm_crop_w(region))
+            stages.extract_regions_and_textline_resident_raw(
+                [raw_dev], [[0, 0, th, w]], [(th, tw)], self.models, cfg,
+                return_device_textline=keep_dev, textline_projection=tp,
+                raw_hws=[image.shape[:2]])
 
         def warm_deskew():
             s = min(512, self.deskew.max_canvas)
@@ -869,7 +911,8 @@ class TextlineDetector:
                 raw_hw=image.shape[:2])
 
         jobs = [("page_model", warm_page_model), ("dual_multi", warm_dual),
-                ("dual_single", warm_dual_single), ("deskew", warm_deskew),
+                ("dual_single", warm_dual_single),
+                ("raw_single", warm_raw_single), ("deskew", warm_deskew),
                 ("headless", warm_headless),
                 ("fullfused", warm_fullfused)]
         threads = [threading.Thread(target=timed(n, f), daemon=True)

@@ -231,6 +231,20 @@ def extract_text_regions(image_page: np.ndarray, models: ModelBundle,
     return morphology.morph_close_host(mask, k)
 
 
+def _fused_kwargs(fn, return_device_textline: bool,
+                  textline_projection: bool) -> dict:
+    """The optional fused-program kwargs a duck-typed model supports
+    (projection requires the device handle; _split_fused decodes both)."""
+    kwargs = {}
+    if return_device_textline and _accepts_kwarg(fn,
+                                                 "return_device_textline"):
+        kwargs["return_device_textline"] = True
+        if textline_projection and _accepts_kwarg(fn,
+                                                  "textline_projection"):
+            kwargs["textline_projection"] = True
+    return kwargs
+
+
 def _accepts_kwarg(fn, name: str) -> bool:
     """True if `fn` can be called with keyword `name` (explicit or **kwargs)."""
     import inspect
@@ -262,15 +276,8 @@ def extract_regions_and_textline(image_page: np.ndarray, models: ModelBundle,
             and getattr(region, "input_hw", None) == textline.input_hw):
         return None
     k = cfg.morphology.kernel_size
-    kwargs = {}
-    if return_device_textline and \
-            _accepts_kwarg(region.predict_dual_tiled,
-                           "return_device_textline"):
-        kwargs["return_device_textline"] = True
-        if textline_projection and \
-                _accepts_kwarg(region.predict_dual_tiled,
-                               "textline_projection"):
-            kwargs["textline_projection"] = True
+    kwargs = _fused_kwargs(region.predict_dual_tiled, return_device_textline,
+                           textline_projection)
     return region.predict_dual_tiled(
         textline, image_page.astype(np.uint8), cfg.tiling.margin_ratio,
         morph=(("erode", k, cfg.morphology.region_erode_iterations),
@@ -294,15 +301,8 @@ def extract_regions_and_textline_multi(image_pages, models: ModelBundle,
             and getattr(region, "input_hw", None) == textline.input_hw):
         return None
     k = cfg.morphology.kernel_size
-    kwargs = {}
-    if return_device_textline and \
-            _accepts_kwarg(region.predict_dual_tiled_multi,
-                           "return_device_textline"):
-        kwargs["return_device_textline"] = True
-        if textline_projection and \
-                _accepts_kwarg(region.predict_dual_tiled_multi,
-                               "textline_projection"):
-            kwargs["textline_projection"] = True
+    kwargs = _fused_kwargs(region.predict_dual_tiled_multi, return_device_textline,
+                           textline_projection)
     return region.predict_dual_tiled_multi(
         textline, [np.asarray(p, np.uint8) for p in image_pages],
         cfg.tiling.margin_ratio,
@@ -328,15 +328,8 @@ def extract_regions_and_textline_resident(canvases, boxes,
             and getattr(region, "input_hw", None) == textline.input_hw):
         return None
     k = cfg.morphology.kernel_size
-    kwargs = {}
-    if return_device_textline and \
-            _accepts_kwarg(region.predict_dual_tiled_resident,
-                           "return_device_textline"):
-        kwargs["return_device_textline"] = True
-        if textline_projection and \
-                _accepts_kwarg(region.predict_dual_tiled_resident,
-                               "textline_projection"):
-            kwargs["textline_projection"] = True
+    kwargs = _fused_kwargs(region.predict_dual_tiled_resident, return_device_textline,
+                           textline_projection)
     return region.predict_dual_tiled_resident(
         textline, canvases, boxes, cfg.tiling.margin_ratio,
         morph=(("erode", k, cfg.morphology.region_erode_iterations),
@@ -363,15 +356,8 @@ def extract_regions_and_textline_resident_raw(raws, boxes, scaled_hws,
             and getattr(region, "input_hw", None) == textline.input_hw):
         return None
     k = cfg.morphology.kernel_size
-    kwargs = {}
-    if return_device_textline and \
-            _accepts_kwarg(region.predict_dual_tiled_resident_raw,
-                           "return_device_textline"):
-        kwargs["return_device_textline"] = True
-        if textline_projection and \
-                _accepts_kwarg(region.predict_dual_tiled_resident_raw,
-                               "textline_projection"):
-            kwargs["textline_projection"] = True
+    kwargs = _fused_kwargs(region.predict_dual_tiled_resident_raw, return_device_textline,
+                           textline_projection)
     return region.predict_dual_tiled_resident_raw(
         textline, raws, boxes, scaled_hws, cfg.tiling.margin_ratio,
         morph=(("erode", k, cfg.morphology.region_erode_iterations),
@@ -543,7 +529,7 @@ def slopes_and_lines(contours: List[np.ndarray], boxes: List[List[int]],
                      models_cfg: PipelineConfig,
                      engine: Optional[DeskewEngine] = None,
                      textline_dev=None, deskew_handle=None,
-                     textline_mask_fetch=None
+                     textline_mask_fetch=None, deskew_attempted=False
                      ) -> Tuple[List[float], List[List[np.ndarray]]]:
     """Reference get_slopes_and_deskew + do_work_of_slopes
     (main.py:1721-1799), without the multiprocessing fan-out: the angle
@@ -558,7 +544,11 @@ def slopes_and_lines(contours: List[np.ndarray], boxes: List[List[int]],
     peak logic; any resident failure falls back to this host path."""
     cfg = models_cfg
     engine = engine or DeskewEngine(cfg.deskew)
-    if deskew_handle is None and textline_dev is not None:
+    if deskew_handle is None and textline_dev is not None \
+            and not deskew_attempted:
+        # with deskew_attempted, host_phase_dispatch already ran (and
+        # warning-logged) this dispatch for these boxes — re-running it
+        # would re-enqueue device work guaranteed to fail at collect
         deskew_handle = deskew_dispatch_resident(boxes, engine,
                                                  textline_dev)
     if deskew_handle is not None:

@@ -69,7 +69,8 @@ def test_warm_up_then_results_unchanged(detector):
             for i, p in enumerate(pages)]
     timings = detector.warm_up(height=500, width=380)
     assert set(timings) == {"page_model", "dual_multi", "dual_single",
-                            "deskew", "headless", "fullfused"}
+                            "raw_single", "deskew", "headless",
+                            "fullfused"}
     assert all(v >= 0.0 for v in timings.values())
     warm = [detector.process_image(p, f"w{i}.png")
             for i, p in enumerate(pages)]

@@ -535,3 +535,44 @@ def test_detector_fullfused_end_to_end_unchanged(duo):
     strip = lambda s: re.sub(rb"<Metadata>.*?</Metadata>", b"", s, flags=re.S)
     assert strip(ET.tostring(a.xml_tree.getroot())) == \
         strip(ET.tostring(b.xml_tree.getroot()))
+
+
+def test_detector_standard_path_carries_projection(duo):
+    """Regression: _device_phase_standard dropped textline_proj from the
+    _DeviceState, so every page through the standard fused path with the
+    default textline_projection=True lost ALL regions (reading order hit
+    order_of_regions(None) and the outer catch wrote an empty PAGE-XML).
+    The standard path (raw_upload=False) must match the raw path."""
+    import dataclasses
+
+    from sbb_textline_detection_tpu.core.config import (
+        DEFAULT_CONFIG, DeskewConfig, ResizePolicy)
+    from sbb_textline_detection_tpu.models.runner import ModelBundle
+    from sbb_textline_detection_tpu.pipeline.detector import TextlineDetector
+
+    m_r, m_t = duo
+    variables = registry.init_variables(TINY, seed=0)
+    page_m = runner.SegmentationModel(TINY, variables,
+                                      RuntimeConfig(batch_buckets=(2, 4, 8)))
+    bundle = ModelBundle(page_m, m_r, m_t)
+    rng = np.random.default_rng(61)
+    image = _scaled_page(rng, 210, 170)
+
+    def run(raw):
+        cfg = dataclasses.replace(
+            DEFAULT_CONFIG,
+            resize=ResizePolicy(300, 160, 1.0),
+            deskew=DeskewConfig(coarse_steps=6, vertical_steps=4),
+            runtime=dataclasses.replace(
+                DEFAULT_CONFIG.runtime, batch_buckets=(2, 4, 8),
+                deskew_canvas=256, raw_upload=raw))
+        assert cfg.runtime.textline_projection  # the default under test
+        return TextlineDetector(bundle, cfg).process_image(image, "p.png")
+
+    a = run(True)
+    b = run(False)
+    assert len(b.contours) > 0
+    assert len(a.contours) == len(b.contours)
+    assert a.slopes == b.slopes
+    for la, lb in zip(a.textlines, b.textlines):
+        assert len(la) == len(lb)
