@@ -113,3 +113,56 @@ def test_batch_workers_1_matches_2(detector):
         assert len(a.contours) == len(b.contours)
         for ca, cb in zip(a.contours, b.contours):
             np.testing.assert_array_equal(ca, cb)
+
+
+def test_failed_predispatch_not_reattempted():
+    """When host_phase_dispatch already attempted (and failed -> None
+    handle) the resident deskew dispatch, host_phase must not re-run it —
+    the result still comes out valid via the host fallback, with exactly
+    one dispatch attempt. Uses real tiny models so the device textline
+    handle exists (fakes would skip the dispatch entirely)."""
+    from sbb_textline_detection_tpu.models import registry, runner
+    from sbb_textline_detection_tpu.pipeline import stages
+    from tests.test_models import TINY
+
+    variables = registry.init_variables(TINY, seed=0)
+    rt = RuntimeConfig(batch_buckets=(2, 4, 8), deskew_canvas=256)
+    models = ModelBundle(
+        runner.SegmentationModel(TINY, variables, rt),
+        runner.SegmentationModel(TINY, variables, rt),
+        runner.SegmentationModel(TINY, variables, rt))
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG,
+        resize=ResizePolicy(300, 160, 1.0),
+        deskew=DeskewConfig(coarse_steps=6, vertical_steps=4),
+        runtime=rt)
+    det = TextlineDetector(models, cfg)
+    rng = np.random.default_rng(61)  # this seed yields >=1 region
+    page = np.where(rng.uniform(size=(210, 170, 3)) < 0.35, 40, 230
+                    ).astype(np.uint8)
+    st = det.device_phase(page, "p.png")
+    assert st.textline_dev is not None  # the guard path under test
+    want = det.host_phase(st, det.host_phase_dispatch(st))
+    assert len(want.contours) >= 1
+
+    calls = []
+    orig = stages.deskew_dispatch_resident
+
+    def failing(boxes, engine, textline_dev):
+        calls.append(1)
+        return None  # what the real wrapper returns on a caught failure
+
+    stages.deskew_dispatch_resident = failing
+    try:
+        st2 = det.device_phase(page, "p.png")
+        pre = det.host_phase_dispatch(st2)
+        assert pre is not None and pre["handle"] is None
+        assert len(calls) == 1
+        got = det.host_phase(st2, pre)
+        # host_phase must not have re-attempted the failed dispatch
+        assert len(calls) == 1
+    finally:
+        stages.deskew_dispatch_resident = orig
+    assert len(got.contours) == len(want.contours)
+    # host fallback recomputes the same slopes the resident path found
+    assert got.slopes == want.slopes
