@@ -576,3 +576,39 @@ def test_detector_standard_path_carries_projection(duo):
     assert a.slopes == b.slopes
     for la, lb in zip(a.textlines, b.textlines):
         assert len(la) == len(lb)
+
+
+def test_batch_fullfused_matches_sequential(duo):
+    """process_batch (2 workers, grouped path) with fused_page_box on
+    must equal sequential process_image page for page."""
+    import dataclasses
+
+    from sbb_textline_detection_tpu.core.config import (
+        DEFAULT_CONFIG, DeskewConfig, ResizePolicy)
+    from sbb_textline_detection_tpu.models.runner import ModelBundle
+    from sbb_textline_detection_tpu.pipeline.detector import TextlineDetector
+
+    m_r, m_t = duo
+    variables = registry.init_variables(TINY, seed=0)
+    page_m = runner.SegmentationModel(TINY, variables,
+                                      RuntimeConfig(batch_buckets=(2, 4, 8)))
+    bundle = ModelBundle(page_m, m_r, m_t)
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG,
+        resize=ResizePolicy(300, 160, 1.0),
+        deskew=DeskewConfig(coarse_steps=6, vertical_steps=4),
+        runtime=dataclasses.replace(
+            DEFAULT_CONFIG.runtime, batch_buckets=(2, 4, 8),
+            deskew_canvas=256, fused_page_box=True))
+    det = TextlineDetector(bundle, cfg)
+    rng = np.random.default_rng(61)
+    pages = [_scaled_page(rng, 210, 170) for _ in range(3)]
+    seq = [det.process_image(p, f"p{i}.png") for i, p in enumerate(pages)]
+    got = list(det.process_batch((p, f"p{i}.png")
+                                 for i, p in enumerate(pages)))
+    assert len(got) == len(seq)
+    for a, b in zip(seq, got):
+        assert len(a.contours) == len(b.contours)
+        assert a.slopes == b.slopes
+        for ca, cb in zip(a.contours, b.contours):
+            np.testing.assert_array_equal(ca, cb)
