@@ -33,9 +33,16 @@ def _effective_size(kernel_size: int, iterations: int) -> int:
 
 def _window_reduce(img, k, op, init):
     """Separable rectangular window reduce: two 1-D passes (k+k work per
-    pixel instead of k*k — a flat rectangular SE is separable)."""
+    pixel instead of k*k — a flat rectangular SE is separable).
+
+    uint8 inputs (the label/binary masks every pipeline call site passes)
+    compute in bfloat16: min/max over integers <= 256 is exact in bf16
+    (8 mantissa bits), and these full-canvas passes are HBM-bandwidth
+    bound — bf16 moves half the bytes f32 did. Other dtypes keep f32."""
     orig_dtype = img.dtype
-    x = img.astype(jnp.float32)
+    ct = jnp.bfloat16 if img.dtype == jnp.uint8 else jnp.float32
+    x = img.astype(ct)
+    init = jnp.asarray(init, ct)
     expand = x.ndim == 2
     if expand:
         x = x[..., None]
