@@ -275,25 +275,34 @@ def _canvas_index_maps(h: int, w: int, s: int, pad_factor: float
 
 def _min_sep_u8(x: jax.Array, k: int) -> jax.Array:
     """Separable k x k min filter over the trailing two axes of (B, H, W)
-    uint8 (erode; border pads with the neutral 255)."""
+    uint8 (erode; border pads with the neutral 255). Computed in bf16 —
+    exact for integers <= 256 and a friendlier reduce_window lowering
+    than u8 (the stage ablation in PERF.md flagged the u8 lowering)."""
     pad = k // 2
-    x = jax.lax.reduce_window(x, np.uint8(255), jax.lax.min,
-                              (1, k, 1), (1, 1, 1),
-                              ((0, 0), (pad, pad), (0, 0)))
-    return jax.lax.reduce_window(x, np.uint8(255), jax.lax.min,
-                                 (1, 1, k), (1, 1, 1),
-                                 ((0, 0), (0, 0), (pad, pad)))
+    xb = x.astype(jnp.bfloat16)
+    init = jnp.bfloat16(255)
+    xb = jax.lax.reduce_window(xb, init, jax.lax.min,
+                               (1, k, 1), (1, 1, 1),
+                               ((0, 0), (pad, pad), (0, 0)))
+    xb = jax.lax.reduce_window(xb, init, jax.lax.min,
+                               (1, 1, k), (1, 1, 1),
+                               ((0, 0), (0, 0), (pad, pad)))
+    return xb.astype(jnp.uint8)
 
 
 def _max_sep_u8(x: jax.Array, k: int) -> jax.Array:
-    """Separable k x k max filter (dilate; border pads with the neutral 0)."""
+    """Separable k x k max filter (dilate; border pads with the neutral 0);
+    bf16 compute like _min_sep_u8."""
     pad = k // 2
-    x = jax.lax.reduce_window(x, np.uint8(0), jax.lax.max,
-                              (1, k, 1), (1, 1, 1),
-                              ((0, 0), (pad, pad), (0, 0)))
-    return jax.lax.reduce_window(x, np.uint8(0), jax.lax.max,
-                                 (1, 1, k), (1, 1, 1),
-                                 ((0, 0), (0, 0), (pad, pad)))
+    xb = x.astype(jnp.bfloat16)
+    init = jnp.bfloat16(0)
+    xb = jax.lax.reduce_window(xb, init, jax.lax.max,
+                               (1, k, 1), (1, 1, 1),
+                               ((0, 0), (pad, pad), (0, 0)))
+    xb = jax.lax.reduce_window(xb, init, jax.lax.max,
+                               (1, 1, k), (1, 1, 1),
+                               ((0, 0), (0, 0), (pad, pad)))
+    return xb.astype(jnp.uint8)
 
 
 def _hat_projection_rows(m: jax.Array, h, w, angle_deg, bufH: int,
