@@ -209,7 +209,13 @@ def _score_profiles_impl(P: jax.Array, sigma: float = 2.0,
     q = jnp.arange(s_len + 40) - 20                      # z-index per zneg pos
     oob = nmask & (q >= s_len)
     any_oob = oob.any(axis=-1)
-    zq = jnp.take(z, q % s_len, axis=-1)                 # numpy wrap semantics
+    if s_len >= 20:
+        # q % s_len maps [-20..-1] -> tail, [s_len..] -> head: the wrap
+        # gather IS this concatenation (numpy wrap semantics), and
+        # concat-of-slices lowers to copies instead of a gather
+        zq = jnp.concatenate([z[..., -20:], z, z[..., :20]], axis=-1)
+    else:
+        zq = jnp.take(z, q % s_len, axis=-1)             # numpy wrap semantics
     neg_sel = nmask & (zq < grenze[..., None])
     neg_cnt = neg_sel.sum(axis=-1)
 
