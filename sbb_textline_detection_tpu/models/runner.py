@@ -648,6 +648,13 @@ class SegmentationModel:
         # Both canvases are strictly binary when the region map is
         # class-masked and the textline model is 2-class (the flagship
         # config) — 1-bit packing then halves the slow d2h transfer.
+        # NOTE: projection mode packs only the (binary) region canvas, so
+        # 1-bit packing would be value-correct for >2-class textline
+        # bundles too — but switching pack width changes the compiled
+        # program, XLA fuses the forward differently, and argmax ties can
+        # flip (~0.6% of pixels on noise inputs), breaking the
+        # bit-equality contract between projection and classic modes.
+        # Keep the pack width a function of the BUNDLE only.
         bits1 = (mask_class is not None
                  and self.textline_n_classes(other) <= 2)
         compiled, flops = self._dual_tiled_fn(
@@ -745,6 +752,13 @@ class SegmentationModel:
             _pad_white(im, margin, ny * sh - im.shape[0] + margin,
                        margin, nx * sw - im.shape[1] + margin)
             for im in imgs])
+        # NOTE: projection mode packs only the (binary) region canvas, so
+        # 1-bit packing would be value-correct for >2-class textline
+        # bundles too — but switching pack width changes the compiled
+        # program, XLA fuses the forward differently, and argmax ties can
+        # flip (~0.6% of pixels on noise inputs), breaking the
+        # bit-equality contract between projection and classic modes.
+        # Keep the pack width a function of the BUNDLE only.
         bits1 = (mask_class is not None
                  and self.textline_n_classes(other) <= 2)
         compiled, flops = self._dual_tiled_multi_fn(
@@ -880,6 +894,13 @@ class SegmentationModel:
         iy_all = np.broadcast_to(iy, (k, ch)).copy()
         ix_all = np.broadcast_to(ix, (k, cw)).copy()
         stacked = jnp.stack(raws)
+        # NOTE: projection mode packs only the (binary) region canvas, so
+        # 1-bit packing would be value-correct for >2-class textline
+        # bundles too — but switching pack width changes the compiled
+        # program, XLA fuses the forward differently, and argmax ties can
+        # flip (~0.6% of pixels on noise inputs), breaking the
+        # bit-equality contract between projection and classic modes.
+        # Keep the pack width a function of the BUNDLE only.
         bits1 = (mask_class is not None
                  and self.textline_n_classes(other) <= 2)
         if textline_projection and not return_device_textline:
@@ -1093,6 +1114,13 @@ class SegmentationModel:
         if len(shapes) != 1:
             raise ValueError(f"canvas shapes differ: {sorted(shapes)}")
         stacked = jnp.stack(canvases)
+        # NOTE: projection mode packs only the (binary) region canvas, so
+        # 1-bit packing would be value-correct for >2-class textline
+        # bundles too — but switching pack width changes the compiled
+        # program, XLA fuses the forward differently, and argmax ties can
+        # flip (~0.6% of pixels on noise inputs), breaking the
+        # bit-equality contract between projection and classic modes.
+        # Keep the pack width a function of the BUNDLE only.
         bits1 = (mask_class is not None
                  and self.textline_n_classes(other) <= 2)
         if textline_projection and not return_device_textline:

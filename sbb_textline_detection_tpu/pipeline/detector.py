@@ -209,43 +209,9 @@ class TextlineDetector:
         (runtime.fused_page_box): page-model input gather, page forward +
         border-box decision, and the fused dual segmentation in a single
         program from the resident raw page. Chain: raw upload -> one
-        dispatch -> one blob fetch. The upload is attributed to
-        page_extraction and the program to region_extraction so stage
-        keys stay comparable with the other paths."""
-        from sbb_textline_detection_tpu.utils import stagetime
-
-        cfg = self.config
-        t: Dict[str, float] = {}
-        dev: Dict[str, float] = {}
-        flops = 0.0
-        stagetime.reset()
-        t0 = time.time()
-        th, tw = stages.working_dims(image, cfg)
-        scaled = stages.LazyScaledImage(image, th, tw)
-        raw_dev = self.models.region.upload_raw(
-            image[:, :, 0] if _channels_identical(image) else image)
-        t["page_extraction"] = time.time() - t0
-        dev["page_extraction"], f = stagetime.snapshot()
-        flops += f
-
-        stagetime.reset()
-        t1 = time.time()
-        res = stages.extract_regions_and_textline_resident_raw_fullfused(
-            raw_dev, (th, tw), self.models, cfg, raw_hw=image.shape[:2])
-        if res is None:
-            raise RuntimeError("bundle cannot run the fully-fused path")
-        region_mask, textline_proj, textline_dev, box5 = res
-        page_coord, cont_page, bh, bw = _box5_page_coords(box5,
-                                                          image_filename)
-        t["region_extraction_model"] = time.time() - t1
-        dev["region_extraction"], f = stagetime.snapshot()
-        flops += f
-        t["textlines"] = 0.0
-        dev["textlines"] = 0.0
-        image_page = np.empty((bh, bw, 0), np.uint8)  # shape-only
-        return _DeviceState(image_filename, scaled, image_page, page_coord,
-                            cont_page, region_mask, None, t, dev,
-                            flops, textline_dev, textline_proj)
+        dispatch -> one blob fetch."""
+        return self._device_phase_fetchfree(image, image_filename,
+                                            fullfused=True)
 
     def _device_phase_raw_headless(self, image: np.ndarray,
                                    image_filename: str = "") -> _DeviceState:
@@ -257,6 +223,18 @@ class TextlineDetector:
         tail). Chain: raw upload -> box dispatch -> fused dispatch -> one
         blob fetch — one blocking round trip shorter than
         _device_phase_raw."""
+        return self._device_phase_fetchfree(image, image_filename,
+                                            fullfused=False)
+
+    def _device_phase_fetchfree(self, image: np.ndarray,
+                                image_filename: str,
+                                fullfused: bool) -> _DeviceState:
+        """Shared body of the two fetch-free phases; they differ only in
+        how the box program runs (inline in the fused program vs a
+        separate page_box_dev dispatch). The upload (+ box dispatch) is
+        attributed to page_extraction and the fused program to
+        region_extraction so stage keys stay comparable with the other
+        paths."""
         from sbb_textline_detection_tpu.utils import stagetime
 
         cfg = self.config
@@ -269,20 +247,25 @@ class TextlineDetector:
         scaled = stages.LazyScaledImage(image, th, tw)
         raw_dev = self.models.region.upload_raw(
             image[:, :, 0] if _channels_identical(image) else image)
-        mh, mw = self.models.page.input_hw
-        small = stages.page_model_input_from_raw(image, th, tw, mh, mw)
-        box5_dev = self.models.page.page_box_dev(small, th, tw)
+        if not fullfused:
+            mh, mw = self.models.page.input_hw
+            small = stages.page_model_input_from_raw(image, th, tw, mh, mw)
+            box5_dev = self.models.page.page_box_dev(small, th, tw)
         t["page_extraction"] = time.time() - t0
         dev["page_extraction"], f = stagetime.snapshot()
         flops += f
 
         stagetime.reset()
         t1 = time.time()
-        res = stages.extract_regions_and_textline_resident_raw_headless(
-            raw_dev, box5_dev, (th, tw), self.models, cfg,
-            raw_hw=image.shape[:2])
+        if fullfused:
+            res = stages.extract_regions_and_textline_resident_raw_fullfused(
+                raw_dev, (th, tw), self.models, cfg, raw_hw=image.shape[:2])
+        else:
+            res = stages.extract_regions_and_textline_resident_raw_headless(
+                raw_dev, box5_dev, (th, tw), self.models, cfg,
+                raw_hw=image.shape[:2])
         if res is None:
-            raise RuntimeError("bundle cannot run the headless path")
+            raise RuntimeError("bundle cannot run the fetch-free path")
         region_mask, textline_proj, textline_dev, box5 = res
         page_coord, cont_page, bh, bw = _box5_page_coords(box5,
                                                           image_filename)
@@ -702,6 +685,11 @@ class TextlineDetector:
         )
         device_total = sum(st.timings.values())
         t["total"] = device_total + (time.time() - t0_all)
+        if pre is not None:
+            # host_phase_dispatch ran outside this wall but its contour +
+            # dispatch time is already inside the stage keys — keep
+            # sum(stages) <= total
+            t["total"] += pre["t_contours"] + pre["t_dispatch"]
         t.pop("region_extraction_model", None)
         dev["total"] = sum(dev.values())
         return PageResult(tree, contours, slopes, textlines,
@@ -738,9 +726,14 @@ class TextlineDetector:
             return run
 
         def warm_page_model():
-            stages.extract_page_batch([scaled] * group, self.models, cfg)
+            # the single-page program (predict_small_prescaled via
+            # extract_page) is what EVERY default-config page dispatches;
+            # the k-batch program only runs when pages group (mesh /
+            # pages_per_dispatch > 1)
+            stages.extract_page(scaled, self.models, cfg)
             if group > 1:
-                stages.extract_page(scaled, self.models, cfg)
+                stages.extract_page_batch([scaled] * group, self.models,
+                                          cfg)
 
         # warm the program VARIANTS production dispatches: the resident
         # program cache is keyed on (keep_dev, proj, raw_shape, ...) —
@@ -832,8 +825,16 @@ class TextlineDetector:
                 region = self.models.region
                 mh, mw = region.input_hw
                 margin = int(cfg.tiling.margin_ratio * mw)
-                ny, nx = region.grid_for(page_img.shape[0],
-                                         page_img.shape[1],
+                # the resident program's cache key includes the textline
+                # canvas shape: the fetch-free paths run the FULL working
+                # page grid, the default raw path the border-crop grid
+                # (_warm_crop_w) — warm the one production dispatches
+                fetchfree = (getattr(cfg.runtime, "fused_page_box", False)
+                             or getattr(cfg.runtime, "device_page_box",
+                                        False))
+                w_grid = (page_img.shape[1] if fetchfree
+                          else _warm_crop_w(region))
+                ny, nx = region.grid_for(page_img.shape[0], w_grid,
                                          cfg.tiling.margin_ratio)
                 mask = jnp.zeros((ny * (mh - 2 * margin),
                                   nx * (mw - 2 * margin)), jnp.uint8)

@@ -247,7 +247,10 @@ def separate_lines_from_profile(y: np.ndarray, h: int, w: int,
     boxes_rot = []
     first_nonzero = 0
     strong = lambda jj: peaks_values[jj] > mean_peaks - std_peaks / 2.0
+    # vertical corners use y_min/y_max_cont only (main.py:1246-1254): skip
+    # the 1000-sample-per-peak points-in-polygon work emit() would ignore
     extents = _ExtentCache(contour, xv,
+                           [] if vertical else
                            [float(p + first_nonzero) for p in peaks],
                            x_min_cont, x_max_cont)
 
