@@ -1065,9 +1065,12 @@ class SegmentationModel:
 
     def upload_canvas(self, scaled_img: np.ndarray,
                       margin_ratio: float = 0.1):
-        """Host-pad the working page into its white canvas and START the
-        host->device transfer (device_put is asynchronous): the upload
-        overlaps the page-border stage's host work and small dispatch.
+        """Host-pad the working page into its white canvas and ship it
+        (jax.device_put — NOTE: BLOCKS on this serving transport at
+        ~130 MB/s, and transfers/programs execute in device order, so the
+        upload cannot hide behind a running program; doing it first is a
+        dispatch-ORDER choice: the fused program then reads a RESIDENT
+        canvas instead of re-uploading the crop before its dispatch).
         Returns the device array for predict_dual_tiled_resident."""
         mh, mw = self.input_hw
         margin = int(margin_ratio * mw)

@@ -452,10 +452,10 @@ class TextlineDetector:
 
         # Page extraction for the whole group: K whole-image forwards fold
         # into one dispatch (stages.extract_page_batch); cost is attributed
-        # evenly so per-page stage keys stay comparable. Before it runs,
-        # each page's margin-padded working image starts its host->device
-        # transfer (upload_canvas is async), so the big uploads overlap the
-        # border stage and the fused dispatch reads RESIDENT canvases.
+        # evenly so per-page stage keys stay comparable. Each page's
+        # margin-padded working image ships first (upload_canvas BLOCKS —
+        # see its docstring; this placement is for dispatch order, not
+        # overlap) so the fused dispatch reads RESIDENT canvases.
         stagetime.reset()
         t0 = time.time()
         scaleds = [stages.scale_image(img, cfg) for img, _ in items]
