@@ -1,0 +1,71 @@
+"""Paired interleaved A/B/C: device-phase path raw (R) vs headless (H)
+vs fullfused (F) in ONE process, same 8-page batch, 3 rounds,
+min-of-pair per arm per round (CLAUDE.md protocol)."""
+import dataclasses
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+from bench import ensure_bench_checkpoints
+from sbb_textline_detection_tpu.core.config import DEFAULT_CONFIG
+from sbb_textline_detection_tpu.models.runner import ModelBundle
+from sbb_textline_detection_tpu.pipeline.detector import TextlineDetector
+from sbb_textline_detection_tpu.utils import synthetic
+
+CK = "/tmp/sbb_tpu_bench_ckpts"
+ensure_bench_checkpoints(CK, 600)
+models = ModelBundle.from_dir(CK, DEFAULT_CONFIG.runtime,
+                              DEFAULT_CONFIG.model_names)
+
+
+def make_det(dpb=False, ff=False):
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG, runtime=dataclasses.replace(
+            DEFAULT_CONFIG.runtime, device_page_box=dpb,
+            fused_page_box=ff))
+    return TextlineDetector(models, cfg)
+
+
+dets = {"R": make_det(), "H": make_det(dpb=True), "F": make_det(ff=True)}
+
+rng = np.random.default_rng(7)
+skews = [0.0, 6.0, 0.0, 2.5, 0.0, 2.5, 0.0, 6.0]
+degs = [0.8, 0.0, 0.0, 0.8, 0.8, 0.0, 0.0, 0.0]
+pages = [synthetic.make_page(rng, 3508, 2480, skew_deg=s, degrade=d)[0]
+         for s, d in zip(skews, degs)]
+
+
+def run(det, tag):
+    t0 = time.time()
+    n = 0
+    for res in det.process_batch((p, f"{tag}_{i}.png")
+                                 for i, p in enumerate(pages)):
+        n += len(res.contours)
+    dt = time.time() - t0
+    print(f"  {tag}: {dt:6.2f}s ({n} regions)", flush=True)
+    return dt
+
+
+for name, det in dets.items():
+    print(f"[ab] warming {name}...", flush=True)
+    t0 = time.time()
+    det.warm_up(3508, 2480)
+    print(f"[ab] warm {name}: {time.time()-t0:.1f}s", flush=True)
+    run(det, f"warm{name}")
+
+wins = {k: 0 for k in dets}
+for r in range(3):
+    print(f"[ab] round {r}:", flush=True)
+    mins = {}
+    for name, det in dets.items():
+        a = run(det, f"{name}1")
+        b = run(det, f"{name}2")
+        mins[name] = min(a, b)
+    best = min(mins, key=mins.get)
+    wins[best] += 1
+    print(f"[ab] round {r}: " +
+          " ".join(f"{k}={v:.2f}" for k, v in mins.items()) +
+          f" -> {best}", flush=True)
+print(f"[ab] wins: {wins}", flush=True)
