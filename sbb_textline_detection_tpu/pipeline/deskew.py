@@ -501,10 +501,10 @@ class DeskewEngine:
     def _sweep_grouped(self, crops: Sequence[np.ndarray], s: int,
                        angles: np.ndarray, render) -> List[float]:
         buckets = self._batch_buckets()
-        # _sweep_batched is the behavioral seam (tests stub it per group);
-        # an instance-level override bypasses the dispatch/collect split
-        if "_sweep_batched" in self.__dict__:
-            out: List[float] = []
+
+        def rendered_groups():
+            # ONE copy of the bucket-selection + canvas-render rule for
+            # both execution modes below
             start = 0
             while start < len(crops):
                 remaining = len(crops) - start
@@ -514,26 +514,23 @@ class DeskewEngine:
                 buf = np.zeros((b, s, s), dtype=np.uint8)
                 for i, crop in enumerate(group):
                     render(crop, buf[i])
-                out.extend(self._sweep_batched(buf, s, angles)[:len(group)])
+                yield buf, b, len(group)
                 start += b
+
+        # _sweep_batched is the behavioral seam (tests stub it per group);
+        # an instance-level override bypasses the dispatch/collect split
+        if "_sweep_batched" in self.__dict__:
+            out: List[float] = []
+            for buf, b, n_real in rendered_groups():
+                out.extend(self._sweep_batched(buf, s, angles)[:n_real])
             return out
         # dispatch every group's sweep first, then fetch: the groups queue
         # back to back on the device instead of paying one dispatch+fetch
         # round trip (~35 ms on the serving tunnel) per group
-        pending = []
-        start = 0
-        while start < len(crops):
-            remaining = len(crops) - start
-            b = next((bb for bb in buckets if bb >= remaining), buckets[-1])
-            group = crops[start:start + b]
-            buf = np.zeros((b, s, s), dtype=np.uint8)
-            for i, crop in enumerate(group):
-                render(crop, buf[i])
-            vs_dev, flops = self._sweep_dispatch(buf, s, angles)
-            pending.append((vs_dev, flops, b, len(group)))
-            start += b
-        out: List[float] = []
-        for vs_dev, flops, b, n_real in pending:
+        pending = [(self._sweep_dispatch(buf, s, angles), b, n_real)
+                   for buf, b, n_real in rendered_groups()]
+        out = []
+        for (vs_dev, flops), b, n_real in pending:
             out.extend(self._sweep_collect(vs_dev, b, angles,
                                            flops)[:n_real])
         return out
