@@ -111,17 +111,19 @@ def trace_moore(mask_u8: np.ndarray, sy: int, sx: int) -> np.ndarray:
     assert lib is not None
     mask_u8 = np.ascontiguousarray(mask_u8, dtype=np.uint8)
     h, w = mask_u8.shape
-    # Worst-case boundary length: every pixel visited from up to 8 backtrack
-    # states is bounded by 4*(h*w); perimeter-ish components are far smaller.
-    cap = 4 * (h + w) + 16
+    # chain length is bounded by the visited (pixel, backtrack) states:
+    # 8 per pixel, so a final attempt at 8*h*w+64 always suffices
+    # (perimeter-ish components are far smaller — start there)
+    hard = 8 * h * w + 64
+    cap = min(4 * (h + w) + 16, hard)
     while True:
         out = np.empty((cap, 2), dtype=np.int64)
         n = lib.sbb_trace_moore(mask_u8, h, w, sy, sx, out.reshape(-1), cap)
         if n >= 0:
             return out[:n]
-        cap *= 4
-        if cap > 8 * h * w + 64:
+        if cap >= hard:
             raise RuntimeError("trace_moore capacity blowup")
+        cap = min(cap * 4, hard)
 
 
 def correlate1d_sym(ypad: np.ndarray, n: int,
@@ -151,16 +153,17 @@ def trace_moore_label(labels: np.ndarray, y0: int, x0: int, h: int, w: int,
         return None
     labels = np.ascontiguousarray(labels, dtype=np.int32)
     stride = labels.shape[1]
-    cap = 4 * (h + w) + 16
+    hard = 8 * h * w + 64
+    cap = min(4 * (h + w) + 16, hard)
     while True:
         out = np.empty((cap, 2), dtype=np.int64)
         n = lib.sbb_trace_moore_label(labels, stride, y0, x0, h, w, sy, sx,
                                       li, out.reshape(-1), cap)
         if n >= 0:
             return out[:n]
-        cap *= 4
-        if cap > 8 * h * w + 64:
+        if cap >= hard:
             raise RuntimeError("trace_moore_label capacity blowup")
+        cap = min(cap * 4, hard)
 
 
 def label_components(mask: np.ndarray) -> Tuple[np.ndarray, int]:

@@ -144,16 +144,21 @@ def _page_frame_polygon(page: ET.Element) -> np.ndarray:
 
 
 def _adapt(el: ET.Element, parent_poly: np.ndarray,
-           transform: Optional[np.ndarray]) -> Optional[ET.Element]:
+           transform: Optional[np.ndarray],
+           parent_valid: bool = False) -> Optional[ET.Element]:
     """Clip `el`'s Coords (transformed to the workspace frame) to the
     parent polygon; None if the intersection is empty
-    (reference adapt_coords, ocrd_cli.py:144-155)."""
+    (reference adapt_coords, ocrd_cli.py:144-155). `parent_valid`: the
+    caller already ran make_valid on parent_poly — clipping N children
+    against one parent then validates it once, not N times (the
+    make_valid is_simple check is O(V^2) pure Python)."""
     coords = find_child(el, "Coords")
     if coords is None or not coords.get("points"):
         return None
     poly = points_to_polygon(coords.get("points"))
     poly = coordinates_for_segment(poly, transform)
-    clipped = polyops.polygon_for_parent(poly, parent_poly)
+    clipped = polyops.polygon_for_parent(poly, parent_poly,
+                                         parent_valid=parent_valid)
     if clipped is None or len(clipped) < 3:
         return None
     coords.set("points", polygon_to_points(clipped))
@@ -214,17 +219,23 @@ def merge_detection_into_page(target_root: ET.Element,
         LOG.warning("Removing existing text regions")
     for tr in find_children(t_page, "TextRegion"):
         t_page.remove(tr)
-    parent_poly = _page_frame_polygon(t_page)  # Border if set above
+    # validate each parent ONCE: every child in the loops below clips
+    # against the same polygon (make_valid is idempotent — its output is
+    # already simple/deduped)
+    parent_poly = polyops.make_valid(
+        _page_frame_polygon(t_page))  # Border if set above
     for region in find_children(d_page, "TextRegion"):
-        region = _adapt(_retag(region, ns), parent_poly, transform)
+        region = _adapt(_retag(region, ns), parent_poly, transform,
+                        parent_valid=True)
         if region is None:
             LOG.warning("new text region polygon would be empty, skipping")
             continue
-        region_poly = points_to_polygon(
-            find_child(region, "Coords").get("points"))
+        region_poly = polyops.make_valid(points_to_polygon(
+            find_child(region, "Coords").get("points")))
         kept_lines = []
         for line in find_children(region, "TextLine"):
-            adapted = _adapt(line, region_poly, transform)
+            adapted = _adapt(line, region_poly, transform,
+                             parent_valid=True)
             if adapted is None:
                 LOG.warning("new text line polygon would be empty, skipping")
             else:

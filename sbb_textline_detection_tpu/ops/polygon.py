@@ -166,17 +166,22 @@ def clip_convex(subject: np.ndarray, clip: np.ndarray) -> Optional[np.ndarray]:
     return dedupe_ring(np.asarray(out))
 
 
-def polygon_for_parent(child: np.ndarray, parent: np.ndarray
+def polygon_for_parent(child: np.ndarray, parent: np.ndarray,
+                       parent_valid: bool = False
                        ) -> Optional[np.ndarray]:
     """Clip `child` to `parent` (reference polygon_for_parent,
     ocrd_cli.py:158-199): child fully inside -> unchanged; empty
     intersection -> None; otherwise the clipped polygon (via the parent's
     convex hull when the parent is non-convex, mirroring the reference's
-    hull fallback for multi-part GEOS results)."""
+    hull fallback for multi-part GEOS results). `parent_valid` skips the
+    parent's make_valid (O(V^2) is_simple) — pass it when clipping many
+    children to the SAME already-validated parent (ocrd/merge.py)."""
     from sbb_textline_detection_tpu.ops import contours as cops
 
     child = make_valid(np.asarray(child, dtype=np.float64).reshape(-1, 2))
-    parent = make_valid(np.asarray(parent, dtype=np.float64).reshape(-1, 2))
+    parent = np.asarray(parent, dtype=np.float64).reshape(-1, 2)
+    if not parent_valid:
+        parent = make_valid(parent)
     if len(child) < 3 or len(parent) < 3:
         return None
     inside = cops.points_in_polygon(parent, child[:, 0], child[:, 1])

@@ -21,8 +21,10 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _cubic_weights(f: jax.Array) -> tuple[jax.Array, ...]:
-    """Keys bicubic weights (A=-0.75) for taps at offsets -1, 0, 1, 2."""
+def _cubic_weights(f):
+    """Keys bicubic weights (A=-0.75) for taps at offsets -1, 0, 1, 2.
+    Pure +,*,- arithmetic: serves jax arrays (device path) and numpy
+    arrays (host parity oracle) from the one definition."""
     A = -0.75
 
     def k1(x):  # |x| <= 1
@@ -103,18 +105,6 @@ def rotate_image(img: jax.Array, angle_deg: jax.Array, order: int = 3) -> jax.Ar
     return out
 
 
-def _cubic_weights_np(f: np.ndarray):
-    A = -0.75
-
-    def k1(x):
-        return ((A + 2.0) * x - (A + 3.0)) * x * x + 1.0
-
-    def k2(x):
-        return ((A * x - 5.0 * A) * x + 8.0 * A) * x - 4.0 * A
-
-    return (k2(1.0 + f), k1(f), k1(1.0 - f), k2(2.0 - f))
-
-
 def rotate_mask_host(mask: np.ndarray, angle_deg: float,
                      threshold: float = 1e-3) -> np.ndarray:
     """Bicubic-rotate a binary (0/255-style) mask and threshold
@@ -185,8 +175,8 @@ def rotate_image_host(img: np.ndarray, angle_deg: float, order: int = 3) -> np.n
             bot = v10 * (1 - fx)[..., None] + v11 * fx[..., None]
             out = top * (1 - fy)[..., None] + bot * fy[..., None]
         elif order == 3:
-            wy = _cubic_weights_np(fy)
-            wx = _cubic_weights_np(fx)
+            wy = _cubic_weights(fy)
+            wx = _cubic_weights(fx)
             out = np.zeros((h, w, c))
             for dyk in range(-1, 3):
                 row = np.zeros((h, w, c))

@@ -7,8 +7,13 @@ writes *channel 0's* thresholded result into all three output channels
 
 cv2's getThreshVal_Otsu_8u maximizes the between-class variance over the 256
 histogram bins, keeping the *first* maximizer; THRESH_BINARY maps
-value > threshold → 255, else 0. Both the host and device paths replicate
-this bit-for-bit for uint8 input.
+value > threshold → 255, else 0. The host path replicates this
+bit-for-bit for uint8 input (float64 scoring like cv2). The device path
+scores in float32 (TPU has no fast f64): on a histogram where two
+candidate thresholds' between-class variances agree to within f32
+resolution (~1e-7 relative), the argmax can pick a later bin than cv2's
+first-max rule — a measure-zero near-tie case the parity tests have
+never hit; everywhere else the device threshold equals the host one.
 """
 
 from __future__ import annotations

@@ -307,3 +307,32 @@ def test_correlate1d_sym_bit_exact(nb):
                 want = want + (ypad[radius - j:radius - j + n]
                                + ypad[radius + j:radius + j + n]) * w[radius - j]
             np.testing.assert_array_equal(got, want)
+
+
+def test_trace_moore_serpentine_never_blows_capacity(nb):
+    """Regression: the retry loop raised 'capacity blowup' after growing
+    past the 8*h*w bound WITHOUT trying a capacity at the bound — a long
+    serpentine boundary that would have fit was reported untraceable and
+    the page degraded to empty. The chain is bounded by 8 states/pixel,
+    so the final attempt always suffices."""
+    from sbb_textline_detection_tpu.ops import contours as cops
+
+    # 1-px serpentine: boundary revisits most pixels repeatedly
+    h, w = 40, 41
+    mask = np.zeros((h, w), np.uint8)
+    for r in range(0, h, 2):
+        mask[r, :] = 1
+    for r in range(1, h, 2):
+        mask[r, 0 if (r // 2) % 2 else w - 1] = 1
+    conts = cops.find_contours(mask)
+    assert len(conts) == 1
+    # same component traced by the numpy oracle path
+    cops_native = conts[0]
+    import sbb_textline_detection_tpu.native_bridge as b
+    lib = b._lib
+    b._lib = None
+    try:
+        want = cops.find_contours(mask)[0]
+    finally:
+        b._lib = lib
+    np.testing.assert_array_equal(cops_native, want)
