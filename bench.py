@@ -140,17 +140,24 @@ def main() -> None:
     warm_thread = threading.Thread(target=_tunnel_warm, daemon=True)
     warm_thread.start()
 
+    # env-var cache config is ignored by the TPU plugin (CLAUDE.md); the
+    # jax.config route must be live BEFORE checkpoint training compiles
+    from sbb_textline_detection_tpu.core import jaxenv
+    jaxenv.enable_compilation_cache()
+
     ensure_bench_checkpoints(args.ckpt_dir, args.train_steps)
     models = ModelBundle.from_dir(args.ckpt_dir, DEFAULT_CONFIG.runtime,
                                   DEFAULT_CONFIG.model_names)
     detector = TextlineDetector(models, DEFAULT_CONFIG)
 
     rng = np.random.default_rng(7)
-    # Half the pages are skewed (crooked scans, ±2-8°) and half are
-    # degraded (blur/noise/stains/contrast loss, utils/synthetic.py::
+    # Half the pages are skewed (crooked scans, ±2-8°); pages 0 and 4
+    # are degraded clean pages and page 3 is skewed AND degraded
+    # (blur/noise/stains/contrast loss, utils/synthetic.py::
     # degrade_page): the deskew sweep, rotated line-split, and
-    # binarization paths must be scored on non-trivial inputs, not only
-    # clean axis-aligned pages (VERDICT r01 weak #5).
+    # binarization paths are scored on non-trivial inputs, not only
+    # clean axis-aligned pages (VERDICT r01 weak #5). At the default 8
+    # pages that is 3 degraded / 4 skewed / 2 untouched.
     skews = [0.0 if i % 2 == 0 else float(rng.choice([-8.0, -3.5, 2.5, 6.0]))
              for i in range(args.pages)]
     degrades = [0.0 if i % 2 == 1 else (0.8 if i % 4 == 0 else 0.0)
@@ -231,7 +238,7 @@ def main() -> None:
         "regions_total": regions,
         "lines_total": lines,
         "quality": {
-            "region_recall": round(float(np.mean(
+            "region_recall": round(float(np.nanmean(
                 [s.region_recall for s in scores])), 3),
             "region_precision": round(float(np.nanmean(
                 [s.region_precision for s in scores])), 3),

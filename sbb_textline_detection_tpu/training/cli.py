@@ -38,7 +38,9 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
               help="model-axis size of the (data, model) mesh")
 @click.option("--log-every", type=int, default=25)
 @click.option("--save-every", type=int, default=0,
-              help="also checkpoint every N steps (resumable)")
+              help="also checkpoint every N steps (resumable: optimizer "
+                   "state and step count ride in a .trainstate.npz "
+                   "sidecar)")
 @click.option("--resume", is_flag=True, default=False,
               help="resume from the checkpoint in --out if present")
 def main(role, out, images, labels, steps, batch, lr, seed,
@@ -64,30 +66,60 @@ def main(role, out, images, labels, steps, batch, lr, seed,
         click.echo("dualhead training uses the joint synthetic task; "
                    "labeled-crop pairs carry a single label plane", err=True)
         sys.exit(2)
-    if images:
-        pairs = data_mod.list_pairs(images, labels)
-        click.echo(f"{len(pairs)} image/label pairs")
-        it = data_mod.crop_batches(pairs, batch, spec.input_height,
-                                   spec.input_width, spec.n_classes, seed)
-    else:
-        click.echo(f"synthetic '{role}' task")
-        it = data_mod.synthetic_batches(role, batch, spec.input_height,
-                                        spec.input_width, seed)
-
     devices = jax.devices()
+    if len(devices) > 1:
+        data_axis = max(1, len(devices) // max(1, model_parallel))
+        if batch % data_axis:
+            click.echo(f"--batch {batch} must be divisible by the mesh "
+                       f"data-axis size {data_axis} "
+                       f"({len(devices)} devices / --model-parallel "
+                       f"{model_parallel})", err=True)
+            sys.exit(2)
     tx = train.make_optimizer(lr)
     name = getattr(DEFAULT_CONFIG.model_names, role)
     ckpt_path = checkpoint.checkpoint_path(out, name)
+    state_path = ckpt_path + ".trainstate.npz"
+    start_step = 0
+    opt_state = None
     if resume and os.path.exists(ckpt_path):
         loaded_spec, variables = checkpoint.load(ckpt_path)
         if loaded_spec != spec:
             click.echo(f"checkpoint spec {loaded_spec} != {spec}", err=True)
             sys.exit(2)
-        click.echo(f"resumed from {ckpt_path}")
+        if os.path.exists(state_path):
+            # a real resume: AdamW moments + step count; without them a
+            # "resume" is a warm restart (zeroed moments, replayed data)
+            blob = np.load(state_path)
+            start_step = int(blob["step"])
+            leaves, treedef = jax.tree_util.tree_flatten(
+                jax.eval_shape(tx.init, variables))
+            opt_state = jax.tree_util.tree_unflatten(
+                treedef, [jnp.asarray(blob[f"leaf_{i}"])
+                          for i in range(len(leaves))])
+            click.echo(f"resumed from {ckpt_path} at step {start_step} "
+                       "(optimizer state restored)")
+        else:
+            click.echo(f"resumed weights from {ckpt_path} (no "
+                       ".trainstate.npz: optimizer moments start fresh)")
     else:
         variables = registry.init_variables(spec, seed)
-    opt_state = jax.jit(tx.init)(variables)
+    if opt_state is None:
+        opt_state = jax.jit(tx.init)(variables)
     step_fn = train.make_train_step(spec, tx)
+
+    # the data stream is reseeded by start_step so a resumed run does not
+    # replay the crops the interrupted run already consumed
+    data_seed = seed + start_step
+    if images:
+        pairs = data_mod.list_pairs(images, labels)
+        click.echo(f"{len(pairs)} image/label pairs")
+        it = data_mod.crop_batches(pairs, batch, spec.input_height,
+                                   spec.input_width, spec.n_classes,
+                                   data_seed)
+    else:
+        click.echo(f"synthetic '{role}' task")
+        it = data_mod.synthetic_batches(role, batch, spec.input_height,
+                                        spec.input_width, data_seed)
 
     if len(devices) > 1:
         mesh = mesh_mod.make_mesh(devices, model_parallel=model_parallel)
@@ -110,23 +142,28 @@ def main(role, out, images, labels, steps, batch, lr, seed,
 
     os.makedirs(out, exist_ok=True)
 
-    def save():
+    def save(step_now):
         checkpoint.save(ckpt_path, spec,
                         jax.tree_util.tree_map(np.asarray, variables))
+        leaves = jax.tree_util.tree_leaves(opt_state)
+        np.savez(state_path, step=np.int64(step_now),
+                 **{f"leaf_{i}": np.asarray(v)
+                    for i, v in enumerate(leaves)})
 
     t0 = time.time()
-    for i in range(steps):
+    for i in range(start_step, start_step + steps):
         imgs, labs = next(it)
         variables, opt_state, loss = step_fn(variables, opt_state,
                                              *put(imgs, labs))
-        if i % log_every == 0 or i == steps - 1:
+        if (i - start_step) % log_every == 0 or \
+                i == start_step + steps - 1:
             click.echo(f"step {i}: loss {float(loss):.4f} "
                        f"({time.time() - t0:.1f}s)")
-        if save_every and (i + 1) % save_every == 0:
-            save()
+        if save_every and (i + 1 - start_step) % save_every == 0:
+            save(i + 1)
             click.echo(f"checkpointed at step {i + 1}")
 
-    save()
+    save(start_step + steps)
     click.echo(f"saved {ckpt_path}")
 
 

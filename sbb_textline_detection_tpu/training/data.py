@@ -13,6 +13,7 @@ directory is given.
 from __future__ import annotations
 
 import os
+from collections import OrderedDict
 from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
@@ -44,18 +45,26 @@ def crop_batches(pairs: List[Tuple[str, str]], batch: int, h: int, w: int,
     from PIL import Image
 
     rng = np.random.default_rng(seed)
-    cache: dict = {}
+    # bounded LRU of decoded pairs: a full-res scan + int32 label map is
+    # ~60 MB, so an unbounded cache OOMs on realistic corpora; 8 entries
+    # keep the common small-corpus case fully cached
+    cache: "OrderedDict" = OrderedDict()
+    cache_cap = min(len(pairs), 8)
 
     def load(idx):
-        if idx not in cache:
-            ip, lp = pairs[idx]
-            with Image.open(ip) as im:
-                img = np.asarray(im.convert("RGB"), dtype=np.uint8)
-            with Image.open(lp) as lm:
-                lab = np.asarray(lm)
-            if lab.ndim == 3:
-                lab = lab[..., 0]
-            cache[idx] = (img, np.clip(lab, 0, n_classes - 1).astype(np.int32))
+        if idx in cache:
+            cache.move_to_end(idx)
+            return cache[idx]
+        ip, lp = pairs[idx]
+        with Image.open(ip) as im:
+            img = np.asarray(im.convert("RGB"), dtype=np.uint8)
+        with Image.open(lp) as lm:
+            lab = np.asarray(lm)
+        if lab.ndim == 3:
+            lab = lab[..., 0]
+        cache[idx] = (img, np.clip(lab, 0, n_classes - 1).astype(np.int32))
+        while len(cache) > cache_cap:
+            cache.popitem(last=False)
         return cache[idx]
 
     while True:

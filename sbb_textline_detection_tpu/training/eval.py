@@ -128,6 +128,8 @@ def evaluate_layout(result, layout, iou_threshold: float = 0.4
         if not region.tag.endswith("TextRegion"):
             continue
         coords = next((c for c in region if c.tag.endswith("Coords")), None)
+        if coords is None or not coords.get("points"):
+            continue  # degrade-path documents may carry Coords-less regions
         pts = np.asarray([[float(v) for v in p.split(",")]
                           for p in coords.get("points").split()])
         pred_boxes.append((pts[:, 0].min(), pts[:, 1].min(),

@@ -54,8 +54,15 @@ def make_train_step(spec: ModelSpec,
     (params, opt_state, loss). Pure function — jit/pjit it with whatever
     shardings the caller chose."""
     module = registry.build_module(spec)
-    cw = None if class_weights is None else jnp.asarray(class_weights)
     heads = tuple(spec.heads)
+    if class_weights is not None and heads:
+        # the heads have disjoint label spaces (e.g. region 0-2 vs
+        # textline 0-1): one shared table would silently weight textline
+        # pixels with region weights — fail loudly until per-head tables
+        # exist
+        raise ValueError("class_weights is not supported with a multi-head "
+                         "spec; pass per-head weights via separate steps")
+    cw = None if class_weights is None else jnp.asarray(class_weights)
 
     def step(variables, opt_state, images, labels):
         def loss_fn(v):
@@ -116,8 +123,11 @@ class Trainer:
             self.variables, self.opt_state, loss = self._step(
                 self.variables, self.opt_state,
                 jnp.asarray(images), jnp.asarray(labels))
-            losses.append(float(loss))
-        return losses
+            # keep the loss a device array: float(loss) would force a
+            # device->host sync EVERY step on the stall-prone tunnel;
+            # callers fetch at log/checkpoint boundaries
+            losses.append(loss)
+        return [float(v) for v in jax.device_get(losses)]
 
     def save(self, path: str):
         from sbb_textline_detection_tpu.models import checkpoint
