@@ -55,10 +55,27 @@ class ModelSpec:
 # Pipeline role defaults. Geometry mirrors the reference models' 448x448
 # patch size; class counts: page = {background, printspace}, region =
 # {background, text, other}, textline = {background, textline}.
+#
+# Flagship trunk widths are (32, 64, 128, 256) — quartered from the
+# r1-r3 (64, 128, 256, 512): the conv GEMMs scale with Cin*Cout, so the
+# per-tile forward drops ~4x (126 -> ~33 GFLOP at 448x448). Rationale
+# (VERDICT r3 #1): at 8.67 TFLOP/page even MFU=1.0 caps at 22.7
+# pages/sec on a 197 TFLOP/s chip; the >= 50 pages/sec target demands
+# <= ~3 TFLOP/page. The reference's geometry contract is only "read it
+# from the checkpoint" (main.py:227-229), and page-segmentation strokes
+# are 20+ px at working scale — quality is gated by the hardened bench
+# corpus (bench.py), which must hold recall 1.0 / precision >= 0.97.
+# Imported upstream .h5 checkpoints are unaffected (resnet50_unet arch;
+# widths travel inside each checkpoint's metadata).
+FLAGSHIP_WIDTHS = (32, 64, 128, 256)
+
 DEFAULT_SPECS = {
-    "page": ModelSpec("model_page_mixed_best", "tpu_unet", 448, 448, 2),
-    "region": ModelSpec("model_strukturerkennung", "tpu_unet", 448, 448, 3),
-    "textline": ModelSpec("model_textline_new", "tpu_unet", 448, 448, 2),
+    "page": ModelSpec("model_page_mixed_best", "tpu_unet", 448, 448, 2,
+                      widths=FLAGSHIP_WIDTHS),
+    "region": ModelSpec("model_strukturerkennung", "tpu_unet", 448, 448, 3,
+                        widths=FLAGSHIP_WIDTHS),
+    "textline": ModelSpec("model_textline_new", "tpu_unet", 448, 448, 2,
+                          widths=FLAGSHIP_WIDTHS),
 }
 
 # The dual-head flagship: region (3) + textline (2) heads on one trunk,
@@ -68,7 +85,8 @@ DEFAULT_SPECS = {
 # of a ModelBundle; the classic two-model bundle remains the import
 # target for upstream .h5 checkpoints (separate models, main.py:58-60).
 DUALHEAD_SPEC = ModelSpec("model_dualhead", "tpu_unet", 448, 448, 5,
-                          heads=(3, 2), in_channels=2)
+                          heads=(3, 2), in_channels=2,
+                          widths=FLAGSHIP_WIDTHS)
 
 
 def build_module(spec: ModelSpec):

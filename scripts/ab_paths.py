@@ -2,6 +2,7 @@
 vs fullfused (F) in ONE process, same 8-page batch, 3 rounds,
 min-of-pair per arm per round (CLAUDE.md protocol)."""
 import dataclasses
+import os
 import sys
 import time
 
@@ -15,7 +16,7 @@ from sbb_textline_detection_tpu.pipeline.detector import TextlineDetector
 from sbb_textline_detection_tpu.utils import synthetic
 
 CK = "/tmp/sbb_tpu_bench_ckpts"
-ensure_bench_checkpoints(CK, 600)
+ensure_bench_checkpoints(CK, int(os.environ.get("SBB_AB_STEPS", "600")))
 models = ModelBundle.from_dir(CK, DEFAULT_CONFIG.runtime,
                               DEFAULT_CONFIG.model_names)
 
