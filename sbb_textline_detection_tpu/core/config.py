@@ -235,6 +235,26 @@ class RuntimeConfig:
     # gather + upload of the headless path. Same full-page tile grid and
     # blob layout as device_page_box; same DEVIATIONS #12 box semantics.
     fused_page_box: bool = False
+    # warm_up scope: False (default) warms only the programs the CURRENT
+    # config's production paths dispatch; fallback-only programs (the
+    # canvas-resident fused program when the raw path is primary, the
+    # host-path deskew sweep when resident deskew is on) compile lazily
+    # on first failure instead. The r3 bench paid 112 s of cold-start
+    # compile for the canvas fallback alone on the 1-core serving host,
+    # where concurrent warm threads' compiles serialize on the CPU.
+    # True restores exhaustive warming (e.g. for hosts expecting flaky
+    # primary paths).
+    warm_fallback_programs: bool = False
+    # Batched page-box stage for process_batch's raw single-page path
+    # (pages_per_dispatch == 1): a prefetch thread gathers the page
+    # model's small input for up to this many upcoming pages, runs ONE
+    # (k, mh, mw, 3) forward dispatch + ONE packed fetch, and hands each
+    # page its border box — replacing k per-page forward round trips + k
+    # small-label fetches (~100-140 ms each on the serving tunnel) with
+    # one pair per window. Windows are padded to this count so the whole
+    # stream runs one compiled program. <= 1 disables (each page runs its
+    # own small forward, the pre-r4 chain).
+    page_box_batch: int = 8
     # Batch path: upload each page's margin-padded working image at the
     # START of the device phase (runner.upload_canvas) and let the fused
     # program slice the crop with runtime box offsets, instead of

@@ -324,19 +324,42 @@ class SegmentationModel:
         smalls = np.stack([
             resize_ops.resize_nearest_host(np.asarray(im), mh, mw)
             for im in imgs_u8])
+        return self.predict_smalls_prescaled_batch(smalls)
+
+    def predict_smalls_prescaled_batch(self, smalls_u8,
+                                       pad_to: Optional[int] = None
+                                       ) -> np.ndarray:
+        """K pre-gathered (mh, mw, 3) model-resolution inputs in ONE
+        dispatch + one 2-bit-packed fetch — the batched page-box stage of
+        process_batch: one (K, mh, mw, 3) forward replaces K per-page
+        forward+fetch round trips (reference runs the page model once per
+        page, main.py:368-373). `pad_to` pads the batch with white pages up
+        to a fixed count so every window of a stream shares one compiled
+        program (pad results are dropped). Label maps equal the per-page
+        program's up to argmax ties between differently-batched XLA
+        fusions; callers that need bit-certainty use the single path."""
+        smalls = np.asarray(smalls_u8)
+        mh, mw = self.input_hw
+        if smalls.ndim != 4 or smalls.shape[1:] != (mh, mw, 3):
+            raise ValueError(f"expected (k, {mh}, {mw}, 3) input, got "
+                             f"{smalls.shape}")
         k = smalls.shape[0]
-        entry = self._whole_batch_compiled.get(k)
+        if pad_to is not None and k < pad_to:
+            pad = np.full((pad_to - k, mh, mw, 3), 255, np.uint8)
+            smalls = np.concatenate([smalls, pad], axis=0)
+        kp = smalls.shape[0]
+        entry = self._whole_batch_compiled.get(kp)
         if entry is None:
             with self._compile_lock:
-                entry = self._whole_batch_compiled.get(k)
+                entry = self._whole_batch_compiled.get(kp)
                 if entry is None:
                     entry = self._aot(self._forward_whole_batch_jit,
                                       self.variables, smalls)
-                    self._whole_batch_compiled[k] = entry
+                    self._whole_batch_compiled[kp] = entry
         compiled, flops = entry
         with stagetime.device_section(flops):
             packed = np.asarray(compiled(self.variables, jnp.asarray(smalls)))
-        return pack_ops.unpack2_host(packed, (k, mh, mw))
+        return pack_ops.unpack2_host(packed, (kp, mh, mw))[:k]
 
     def predict_whole(self, img_u8: np.ndarray) -> np.ndarray:
         """Whole-image mode (main.py:368-379): resize to model size, predict,

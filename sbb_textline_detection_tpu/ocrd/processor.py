@@ -50,12 +50,15 @@ class OcrdSbbTextlineDetectorRecognize:
     """OCR-D Processor facade. Mirrors upstream ocrd_cli.py:29-141."""
 
     def __init__(self, workspace, input_file_grp: str, output_file_grp: str,
-                 parameter: Optional[dict] = None, **kwargs):
+                 parameter: Optional[dict] = None, config=None, **kwargs):
+        """`config`: optional PipelineConfig override (tests / non-default
+        deployments); None = DEFAULT_CONFIG, the reference behavior."""
         _load_ocrd()
         self.workspace = workspace
         self.input_file_grp = input_file_grp
         self.output_file_grp = output_file_grp
         self.parameter = parameter or {}
+        self._config = config
         self._detector = None
 
     def _get_detector(self, model_dir: str):
@@ -64,9 +67,10 @@ class OcrdSbbTextlineDetectorRecognize:
             from sbb_textline_detection_tpu.models.runner import ModelBundle
             from sbb_textline_detection_tpu.pipeline.detector import (
                 TextlineDetector)
+            cfg = self._config or DEFAULT_CONFIG
             models = ModelBundle.from_dir(
-                model_dir, DEFAULT_CONFIG.runtime, DEFAULT_CONFIG.model_names)
-            self._detector = TextlineDetector(models, DEFAULT_CONFIG)
+                model_dir, cfg.runtime, cfg.model_names)
+            self._detector = TextlineDetector(models, cfg)
         return self._detector
 
     def process(self):

@@ -161,10 +161,14 @@ class TextlineDetector:
 
     # -- device-bound phase --------------------------------------------------
     def device_phase(self, image: np.ndarray,
-                     image_filename: str = "") -> _DeviceState:
+                     image_filename: str = "",
+                     pre_box=None) -> _DeviceState:
         """Scale, border-crop, and run all three model passes. Prefers the
         raw-upload path (original page up, working canvas materialized on
-        device); any failure there falls back to the standard path."""
+        device); any failure there falls back to the standard path.
+        `pre_box`: optional (box, t_share, d_share, f_share) from the
+        batched page-box stage (_page_box_prefetch) — the raw path then
+        skips its per-page small forward."""
         cfg = self.config
         if cfg.runtime.resident_upload and \
                 getattr(cfg.runtime, "raw_upload", False) and \
@@ -196,7 +200,8 @@ class TextlineDetector:
                                 "using the raw-resident path",
                                 image_filename, exc_info=True)
             try:
-                return self._device_phase_raw(image, image_filename)
+                return self._device_phase_raw(image, image_filename,
+                                              pre_box=pre_box)
             except Exception:
                 LOG.warning("raw-resident device phase failed for %s; "
                             "using the standard path", image_filename,
@@ -280,13 +285,16 @@ class TextlineDetector:
                             flops, textline_dev, textline_proj)
 
     def _device_phase_raw(self, image: np.ndarray,
-                          image_filename: str = "") -> _DeviceState:
+                          image_filename: str = "",
+                          pre_box=None) -> _DeviceState:
         """Raw-upload device phase: the ORIGINAL page goes up once
         (upload_raw); the page model's input is gathered from it on host
         via the exact composed nearest maps; the fused program resizes,
         crops, and segments on device. The working image is never
         materialized on host (LazyScaledImage does so only if a degrade
-        path touches it)."""
+        path touches it). With `pre_box` (from the batched page-box
+        stage), the per-page small forward + label fetch are skipped and
+        the window's shared cost is folded into page_extraction."""
         from sbb_textline_detection_tpu.utils import stagetime
 
         cfg = self.config
@@ -299,20 +307,26 @@ class TextlineDetector:
         scaled = stages.LazyScaledImage(image, th, tw)
         raw_dev = self.models.region.upload_raw(
             image[:, :, 0] if _channels_identical(image) else image)
-        mh, mw = self.models.page.input_hw
-        small = stages.page_model_input_from_raw(image, th, tw, mh, mw)
-        try:
-            small_labels = self.models.page.predict_small_prescaled(small)
-            box = stages._page_box_model_res(small_labels, th, tw, cfg)
-        except Exception:
-            # reference fallback: the whole image (main.py:406-426 shape
-            # quirk included)
-            box = [0, 0, tw - 1, th - 1]
+        t_share = d_share = f_share = 0.0
+        if pre_box is not None:
+            box, t_share, d_share, f_share = pre_box
+        else:
+            mh, mw = self.models.page.input_hw
+            small = stages.page_model_input_from_raw(image, th, tw, mh, mw)
+            try:
+                small_labels = self.models.page.predict_small_prescaled(
+                    small)
+                box = stages._page_box_model_res(small_labels, th, tw, cfg)
+            except Exception:
+                # reference fallback: the whole image (main.py:406-426
+                # shape quirk included)
+                box = [0, 0, tw - 1, th - 1]
         page_coord = [box[1], box[1] + box[3], box[0], box[0] + box[2]]
         cont_page = _page_quad(page_coord)
-        t["page_extraction"] = time.time() - t0
+        t["page_extraction"] = time.time() - t0 + t_share
         dev["page_extraction"], f = stagetime.snapshot()
-        flops += f
+        dev["page_extraction"] += d_share
+        flops += f + f_share
 
         stagetime.reset()
         t1 = time.time()
@@ -442,12 +456,18 @@ class TextlineDetector:
         pages). Page extraction stays per page (one small whole-image
         forward each); group timings are attributed evenly across pages so
         stage keys stay comparable with the single-page path. Any fused
-        failure falls back to the per-page device_phase."""
+        failure falls back to the per-page device_phase.
+
+        Items are (image, name) or (image, name, pre_box) triples from the
+        batched page-box stage; pre_box is consumed only by the per-page
+        path (grouped dispatch runs its own batched page extraction)."""
         from sbb_textline_detection_tpu.utils import stagetime
 
-        items = list(items)
+        items = [tuple(it) + (None,) * (3 - len(it)) for it in items]
         if len(items) <= 1:
-            return [self.device_phase(img, name) for img, name in items]
+            return [self.device_phase(img, name, pre_box=pb)
+                    for img, name, pb in items]
+        items = [(img, name) for img, name, _ in items]
         cfg = self.config
 
         # Page extraction for the whole group: K whole-image forwards fold
@@ -727,10 +747,16 @@ class TextlineDetector:
 
         def warm_page_model():
             # the single-page program (predict_small_prescaled via
-            # extract_page) is what EVERY default-config page dispatches;
-            # the k-batch program only runs when pages group (mesh /
-            # pages_per_dispatch > 1)
+            # extract_page) serves process_image and the box-less
+            # fallback; the batched page-box program (page_box_batch) is
+            # what process_batch's prefetch stage dispatches
             stages.extract_page(scaled, self.models, cfg)
+            bb = self._page_box_batch_size()
+            if bb and hasattr(self.models.page,
+                              "predict_smalls_prescaled_batch"):
+                mh, mw = self.models.page.input_hw
+                self.models.page.predict_smalls_prescaled_batch(
+                    np.full((1, mh, mw, 3), 255, np.uint8), pad_to=bb)
             if group > 1:
                 stages.extract_page_batch([scaled] * group, self.models,
                                           cfg)
@@ -774,6 +800,16 @@ class TextlineDetector:
 
         def warm_dual_single():
             region = self.models.region
+            raw_primary = (cfg.runtime.resident_upload
+                           and getattr(cfg.runtime, "raw_upload", False)
+                           and hasattr(region,
+                                       "predict_dual_tiled_resident_raw"))
+            if raw_primary and not getattr(cfg.runtime,
+                                           "warm_fallback_programs", False):
+                # canvas-resident program is only the raw path's FALLBACK
+                # here; its cold compile (112 s measured on the 1-core
+                # host) would serialize against the production compiles
+                return
             if cfg.runtime.resident_upload and \
                     hasattr(region, "upload_canvas"):
                 canvas = region.upload_canvas(page_img,
@@ -859,9 +895,12 @@ class TextlineDetector:
                     t.start()
                 for t in bthreads:
                     t.join()
-                self.deskew._sweep_batched(
-                    np.zeros((self.deskew.region_batch, s, s), np.uint8),
-                    s, self.deskew._coarse)
+                if getattr(cfg.runtime, "warm_fallback_programs", False):
+                    # host-path sweep program: only dispatched when the
+                    # resident path fails for a region group
+                    self.deskew._sweep_batched(
+                        np.zeros((self.deskew.region_batch, s, s),
+                                 np.uint8), s, self.deskew._coarse)
                 return
             # every power-of-two group bucket a real page can dispatch
             # (_batch_buckets) — a shape missed here pays its 5-30 s
@@ -941,6 +980,103 @@ class TextlineDetector:
                 group = max(group, data)
         return group
 
+    def _page_box_batch_size(self) -> int:
+        """Window size of the batched page-box stage, or 0 when the
+        production path can't consume it (grouped dispatch runs its own
+        batched page extraction; the fetch-free paths decide the box on
+        device)."""
+        rt = self.config.runtime
+        n = max(0, getattr(rt, "page_box_batch", 0))
+        if n <= 1:
+            return 0
+        if not (rt.resident_upload and getattr(rt, "raw_upload", False)):
+            return 0
+        if getattr(rt, "device_page_box", False) or \
+                getattr(rt, "fused_page_box", False):
+            return 0
+        if not (hasattr(self.models.page, "predict_smalls_prescaled_batch")
+                and hasattr(self.models.region,
+                            "predict_dual_tiled_resident_raw")):
+            return 0
+        return n
+
+    def _page_box_prefetch(self, images, batch: int):
+        """Batched page-box stage: pulls up to `batch` upcoming pages,
+        gathers each page model input on host (the exact composed nearest
+        maps of page_model_input_from_raw), runs ONE (batch, mh, mw, 3)
+        forward dispatch + ONE packed fetch, computes each page's border
+        box (stages._page_box_model_res), and yields (image, name,
+        pre_box) triples. One dispatch+fetch round-trip pair per window
+        replaces one PER PAGE (reference chain main.py:368-373 per page).
+        Runs on its own thread with a bounded queue so the window-boundary
+        fetch wait overlaps the consumers' device phases; any failure
+        yields box-less items (pages then run their own small forward)."""
+        import itertools
+        import queue as queue_mod
+        import threading
+
+        from sbb_textline_detection_tpu.utils import stagetime
+
+        q: "queue_mod.Queue" = queue_mod.Queue(maxsize=batch + 2)
+        _END = object()
+
+        def worker():
+            try:
+                it = iter(images)
+                mh, mw = self.models.page.input_hw
+                while True:
+                    window = list(itertools.islice(it, batch))
+                    if not window:
+                        break
+                    stagetime.reset()
+                    t0 = time.time()
+                    pre_boxes = None
+                    try:
+                        dims = []
+                        smalls = []
+                        for img, _ in window:
+                            th, tw = stages.working_dims(img, self.config)
+                            dims.append((th, tw))
+                            smalls.append(stages.page_model_input_from_raw(
+                                img, th, tw, mh, mw))
+                        labels = self.models.page \
+                            .predict_smalls_prescaled_batch(
+                                np.stack(smalls), pad_to=batch)
+                        pre_boxes = []
+                        for (th, tw), lab in zip(dims, labels):
+                            try:
+                                pre_boxes.append(stages._page_box_model_res(
+                                    lab, th, tw, self.config))
+                            except Exception:
+                                # reference fallback: the whole image
+                                # (main.py:406-426 shape quirk included)
+                                pre_boxes.append([0, 0, tw - 1, th - 1])
+                    except Exception:
+                        LOG.warning("batched page-box stage failed; pages "
+                                    "fall back to per-page forwards",
+                                    exc_info=True)
+                    d, f = stagetime.snapshot()
+                    n = len(window)
+                    share = ((time.time() - t0) / n, d / n, f / n)
+                    for i, (img, name) in enumerate(window):
+                        pb = ((pre_boxes[i],) + share
+                              if pre_boxes is not None else None)
+                        q.put((img, name, pb))
+            except BaseException:
+                LOG.warning("page-box prefetch thread died; remaining "
+                            "pages are dropped from this batch",
+                            exc_info=True)
+            finally:
+                q.put(_END)
+
+        threading.Thread(target=worker, daemon=True,
+                         name="page-box-prefetch").start()
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            yield item
+
     # -- public API --------------------------------------------------------
     def process_image(self, image: np.ndarray,
                       image_filename: str = "") -> PageResult:
@@ -957,10 +1093,17 @@ class TextlineDetector:
         round trips; two workers overlap two pages' chains (measured
         +12%, see config). Pages are grouped runtime.pages_per_dispatch
         at a time so the segmentation passes of the whole group run as
-        one fused device dispatch (device_phase_group)."""
+        one fused device dispatch (device_phase_group). With the default
+        per-page dispatch (pages_per_dispatch 1), the page-model forwards
+        of up to runtime.page_box_batch upcoming pages fold into one
+        batched dispatch on a prefetch thread (_page_box_prefetch)."""
         group_size = self._effective_group_size()
         workers = max(1, getattr(self.config.runtime,
                                  "device_phase_workers", 1))
+        if group_size == 1:
+            boxbatch = self._page_box_batch_size()
+            if boxbatch:
+                images = self._page_box_prefetch(images, boxbatch)
 
         def grouped():
             buf = []

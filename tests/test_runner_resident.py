@@ -578,6 +578,64 @@ def test_detector_standard_path_carries_projection(duo):
         assert len(la) == len(lb)
 
 
+def test_smalls_prescaled_batch_matches_single(duo):
+    """The batched page-box forward (ONE (k, mh, mw, 3) dispatch,
+    process_batch's prefetch stage) must produce the same label maps as
+    per-page predict_small_prescaled calls, with pad_to pad pages
+    dropped."""
+    m_r, _ = duo
+    rng = np.random.default_rng(23)
+    mh, mw = m_r.input_hw
+    smalls = np.stack([_scaled_page(rng, mh, mw) for _ in range(3)])
+    want = np.stack([m_r.predict_small_prescaled(s) for s in smalls])
+    got = m_r.predict_smalls_prescaled_batch(smalls, pad_to=5)
+    np.testing.assert_array_equal(got, want)
+    with pytest.raises(ValueError):
+        m_r.predict_smalls_prescaled_batch(smalls[:, :-1])
+
+
+def test_batch_page_box_stage_matches_sequential(duo):
+    """process_batch with the batched page-box stage on
+    (runtime.page_box_batch > 1, the default production path) must equal
+    sequential process_image page for page: the prefetch thread's batched
+    forward hands each raw device phase the same border box its own small
+    forward would have computed. 5 pages = one full window + a padded
+    tail window at page_box_batch=3."""
+    import dataclasses
+
+    from sbb_textline_detection_tpu.core.config import (
+        DEFAULT_CONFIG, DeskewConfig, ResizePolicy)
+    from sbb_textline_detection_tpu.models.runner import ModelBundle
+    from sbb_textline_detection_tpu.pipeline.detector import TextlineDetector
+
+    m_r, m_t = duo
+    variables = registry.init_variables(TINY, seed=0)
+    page_m = runner.SegmentationModel(TINY, variables,
+                                      RuntimeConfig(batch_buckets=(2, 4, 8)))
+    bundle = ModelBundle(page_m, m_r, m_t)
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG,
+        resize=ResizePolicy(300, 160, 1.0),
+        deskew=DeskewConfig(coarse_steps=6, vertical_steps=4),
+        runtime=dataclasses.replace(
+            DEFAULT_CONFIG.runtime, batch_buckets=(2, 4, 8),
+            deskew_canvas=256, page_box_batch=3))
+    det = TextlineDetector(bundle, cfg)
+    assert det._page_box_batch_size() == 3
+    rng = np.random.default_rng(61)
+    pages = [_scaled_page(rng, 210, 170) for _ in range(5)]
+    seq = [det.process_image(p, f"p{i}.png") for i, p in enumerate(pages)]
+    got = list(det.process_batch((p, f"p{i}.png")
+                                 for i, p in enumerate(pages)))
+    assert len(got) == len(seq)
+    for a, b in zip(seq, got):
+        assert len(a.contours) == len(b.contours)
+        assert a.slopes == b.slopes
+        for ca, cb in zip(a.contours, b.contours):
+            np.testing.assert_array_equal(ca, cb)
+        assert a.page_coord == b.page_coord
+
+
 def test_batch_fullfused_matches_sequential(duo):
     """process_batch (2 workers, grouped path) with fused_page_box on
     must equal sequential process_image page for page."""
