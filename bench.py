@@ -53,10 +53,12 @@ TARGET_PAGES_PER_SEC = 50.0
 PEAK_FLOPS = float(os.environ.get("SBB_BENCH_PEAK_FLOPS", 197e12))
 # Versioned cache dir: bump the suffix whenever the flagship architecture
 # or the synthetic training task changes, so stale checkpoints retrain
-# instead of failing validation (CLAUDE.md). v4 = narrow FLAGSHIP_WIDTHS
-# trunk + hardened corpus (vertical text, figures, bleed, ±25° rotation).
+# instead of failing validation (CLAUDE.md). v5 = v4 (narrow
+# FLAGSHIP_WIDTHS trunk + hardened corpus) + vertical-texture pages in
+# the border-model task (page_batch) — without them the border model
+# cropped away whole columns of vertical-text pages.
 _CKPT_CACHE = os.environ.get(
-    "SBB_BENCH_CKPT_DIR", os.path.join("/tmp", "sbb_tpu_bench_ckpts_v4"))
+    "SBB_BENCH_CKPT_DIR", os.path.join("/tmp", "sbb_tpu_bench_ckpts_v5"))
 
 
 def _log(msg: str) -> None:
@@ -120,7 +122,12 @@ def main() -> None:
                          "pipelined batch reaches steady state — 4-page "
                          "batches under-report throughput ~20%)")
     ap.add_argument("--train-steps", type=int,
-                    default=int(os.environ.get("SBB_BENCH_TRAIN_STEPS", 150)))
+                    default=int(os.environ.get("SBB_BENCH_TRAIN_STEPS", 300)))
+    # 300 (x3 for the dual-head joint task): the 150-step schedule left
+    # the hardened sub-distributions visibly undertrained — doubling it
+    # moved figure-page region precision 0.664 -> 0.929 and overall
+    # precision 0.874 -> 0.973 (r4 paired runs); training cost ~9 min
+    # once per cache version.
     ap.add_argument("--ckpt-dir", default=_CKPT_CACHE)
     ap.add_argument("--page-height", type=int, default=3508)
     ap.add_argument("--page-width", type=int, default=2480)

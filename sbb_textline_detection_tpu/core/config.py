@@ -89,6 +89,19 @@ class LineSplitConfig:
     # NB: the reference also computes `point_down_narrow` variants
     # (main.py:756/771), but they feed only the unconsumed textline_boxes
     # output — deliberately not modeled here.
+    # DEVIATIONS #14 — vertical-text split axis fix. The reference's
+    # seperate_lines_vertical profiles img_patch.sum(axis=0)
+    # (main.py:1020) on a patch rotate_image ALREADY turned horizontal
+    # (the deskew sweep picks the angle whose ROW profile peaks,
+    # main.py:1640; textline_contours_postprocessing rotates by that
+    # slope before the split, main.py:1494/1515) — a profile
+    # PERPENDICULAR to the text, yielding 0-2 garbage boxes per vertical
+    # region (plus the unbound-variable crash at main.py:1298). True:
+    # split the rotated patch with the HORIZONTAL peak logic instead
+    # (same machinery, correct axis); the reference-faithful broken
+    # behavior stays available at False (pipeline/lines.py keeps the
+    # vertical variant verbatim as the parity oracle).
+    vertical_axis_fix: bool = True
     # Generic / 2-peak case divisors (main.py:868-943):
     two_peak_div: float = 1.8
     generic_div: float = 1.9

@@ -470,7 +470,10 @@ def textline_postprocess(crop_labels: np.ndarray, slope: float,
         # region (DEVIATIONS.md).
         big = _contour_in_rotated_frame(contour, slope, box)
 
-        vertical = abs(slope) > cfg.deskew.vertical_line_split_abs
+        vertical = (abs(slope) > cfg.deskew.vertical_line_split_abs
+                    and not cfg.line_split.vertical_axis_fix)
+        # with vertical_axis_fix (DEVIATIONS #14) the rotated patch is
+        # already horizontal-text, so the HORIZONTAL split applies
         _, boxes_rot = lines_mod.separate_lines(
             dst, big, slope, cfg.line_split, vertical=vertical)
         return boxes_rot
@@ -499,7 +502,11 @@ def textline_postprocess_profile(profile_pair, slope: float,
     run on host. Any failure -> no lines (main.py:1520-1522)."""
     try:
         big = _contour_in_rotated_frame(contour, slope, box)
-        vertical = abs(slope) > cfg.deskew.vertical_line_split_abs
+        vertical = (abs(slope) > cfg.deskew.vertical_line_split_abs
+                    and not cfg.line_split.vertical_axis_fix)
+        # DEVIATIONS #14: with the fix, the deskewed region's ROW profile
+        # (profile_pair[0], one peak per now-horizontal line) feeds the
+        # horizontal peak logic even for vertical-text slopes
         prof = profile_pair[1] if vertical else profile_pair[0]
         _, boxes_rot = lines_mod.separate_lines_from_profile(
             prof, box[3], box[2], big, slope, cfg.line_split,

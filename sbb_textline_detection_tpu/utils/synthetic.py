@@ -472,11 +472,34 @@ def page_batch(rng: np.random.Generator, n: int, h: int, w: int
         mx = int(w * rng.uniform(0.06, 0.16))
         my = int(h * rng.uniform(0.06, 0.14))
         n_cols = int(rng.integers(1, 3))
-        gap = int(w * 0.03)
+        vertical = rng.uniform() < 0.2
+        # column gap spans the bench layout's range (make_page puts
+        # ~3-18%% of the width between columns); the label is still ONE
+        # solid printspace box, so the model learns to bridge it
+        gap = int(w * rng.uniform(0.03, 0.18)) if n_cols > 1 else 0
         col_w = (w - 2 * mx - (n_cols - 1) * gap) // n_cols
         pitch = int(rng.integers(4, 8))
         for ci in range(n_cols):
             cx0 = mx + ci * (col_w + gap)
+            if vertical:
+                # vertical-text texture: tall narrow strokes read
+                # column-wise, broken into paragraph bands with y-gaps
+                # like make_page(vertical=True) renders them. Without
+                # these the border model treats vertical pages as out of
+                # distribution and crops away whole columns (measured:
+                # the bench vertical page lost 5 of 10 paragraphs to the
+                # page box).
+                n_bands = int(rng.integers(2, 5))
+                band_gap = int(rng.integers(8, 18))
+                band_h = (h - 2 * my - (n_bands - 1) * band_gap) // n_bands
+                for bi in range(n_bands):
+                    by0 = my + bi * (band_h + band_gap)
+                    for x in range(cx0, cx0 + col_w - 1, pitch):
+                        if rng.uniform() < 0.85:
+                            img[by0:by0 + band_h,
+                                x:x + max(1, pitch // 2)] = \
+                                rng.uniform(0.1, 0.5)
+                continue
             for y in range(my, h - my - 2, pitch):
                 if rng.uniform() < 0.85:
                     img[y:y + max(1, pitch // 2),

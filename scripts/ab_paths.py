@@ -9,14 +9,14 @@ import time
 import numpy as np
 
 sys.path.insert(0, "/root/repo")
-from bench import ensure_bench_checkpoints
+from bench import ensure_bench_checkpoints, _CKPT_CACHE
 from sbb_textline_detection_tpu.core.config import DEFAULT_CONFIG
 from sbb_textline_detection_tpu.models.runner import ModelBundle
 from sbb_textline_detection_tpu.pipeline.detector import TextlineDetector
 from sbb_textline_detection_tpu.utils import synthetic
 
-CK = "/tmp/sbb_tpu_bench_ckpts"
-ensure_bench_checkpoints(CK, int(os.environ.get("SBB_AB_STEPS", "600")))
+CK = os.environ.get("SBB_AB_CKPTS", _CKPT_CACHE)
+ensure_bench_checkpoints(CK, int(os.environ.get("SBB_AB_STEPS", "300")))
 models = ModelBundle.from_dir(CK, DEFAULT_CONFIG.runtime,
                               DEFAULT_CONFIG.model_names)
 

@@ -210,29 +210,48 @@ def test_skewed_page_triggers_deskew_and_straight_lines(detector):
     assert quad[1, 1] < quad[0, 1], quad
 
 
-def test_vertical_text_page_takes_vertical_path(detector):
-    """Vertical stripes: the deskew sweep's |angle|>15 re-sweep lands in
-    [-90,-50] (main.py:1669-1714) and the line splitter dispatches its
-    vertical variant (main.py:1514-1517).
-
-    Reference-faithful outcome: the vertical path self-defeats upstream —
-    the mask is first rotated BY the slope (main.py:1485), turning vertical
-    lines horizontal, then seperate_lines_vertical profiles axis=0
-    (main.py:1020), which is flat for horizontal content; the degenerate
-    profile hits the unbound single-peak branch (main.py:1298-1301) or
-    yields no peaks, and the blanket except returns no lines
-    (main.py:1520-1522). Parity assertion: the vertical sweep fired
-    (slope ~ -90) and zero lines were emitted."""
-    h, w = 700, 500
+def _vertical_stripe_page(h=700, w=500):
     img = np.full((h, w, 3), 255, np.uint8)
     # stripe gap (25 px page scale -> 30 working) stays under the fake
     # region model's 41-px closing window so the column reads as ONE region
     for i in range(5):
         x = 140 + i * 45
         img[60:h - 60, x:x + 20] = 20
-    res = detector.process_image(img, "vertical.png")
+    return img
+
+
+def test_vertical_text_page_takes_vertical_path(detector):
+    """Vertical stripes: the deskew sweep's |angle|>15 re-sweep lands in
+    [-90,-50] (main.py:1669-1714) and, with the default vertical_axis_fix
+    (DEVIATIONS #14), the now-horizontal rotated patch is split with the
+    HORIZONTAL peak logic — one line per stripe — instead of the
+    reference's self-defeating vertical variant (main.py:1020 profiles the
+    axis perpendicular to the rotated text)."""
+    res = detector.process_image(_vertical_stripe_page(), "vertical.png")
     assert len(res.contours) == 1
     slope = res.slopes[0]
     assert abs(slope) > DEFAULT_CONFIG.deskew.vertical_line_split_abs, slope
+    assert -95.0 <= slope <= -50.0, slope
+    assert 4 <= len(res.textlines[0]) <= 6, len(res.textlines[0])
+
+
+def test_vertical_text_reference_faithful_flag(detector):
+    """With vertical_axis_fix=False the reference-faithful vertical path is
+    preserved verbatim and self-defeats upstream: the mask is first rotated
+    BY the slope (main.py:1485), turning vertical lines horizontal, then
+    seperate_lines_vertical profiles axis=0 (main.py:1020), which is flat
+    for horizontal content; the degenerate profile hits the unbound
+    single-peak branch (main.py:1298-1301) or yields no peaks, and the
+    blanket except returns no lines (main.py:1520-1522). Parity assertion:
+    the vertical sweep fired (slope ~ -90) and zero lines were emitted."""
+    from sbb_textline_detection_tpu.core.config import LineSplitConfig
+    cfg = dataclasses.replace(
+        detector.config,
+        line_split=dataclasses.replace(LineSplitConfig(),
+                                       vertical_axis_fix=False))
+    det_ref = TextlineDetector(detector.models, cfg)
+    res = det_ref.process_image(_vertical_stripe_page(), "vertical.png")
+    assert len(res.contours) == 1
+    slope = res.slopes[0]
     assert -95.0 <= slope <= -50.0, slope
     assert res.textlines[0] == []

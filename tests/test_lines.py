@@ -82,3 +82,44 @@ def test_rotated_boxes_roundtrip():
         assert b[0, 1] == b[1, 1]    # horizontal top edge
         assert b[2, 1] == b[3, 1]    # horizontal bottom edge
         assert b[0, 0] == b[3, 0]    # vertical left edge
+
+
+def test_vertical_axis_fix_recovers_lines():
+    """DEVIATIONS #14: a vertical-text region (tall narrow strokes) at
+    slope -90 must yield ~one line box per stroke through
+    stages.textline_postprocess with the default vertical_axis_fix — the
+    reference-faithful vertical variant (fix off) profiles the axis
+    perpendicular to the rotated text (main.py:1020) and yields almost
+    nothing."""
+    import dataclasses
+
+    from sbb_textline_detection_tpu.core.config import (DEFAULT_CONFIG,
+                                                        LineSplitConfig)
+    from sbb_textline_detection_tpu.pipeline import stages
+
+    # 8 vertical strokes, 24 px pitch, in a 360x220 crop
+    crop = np.zeros((360, 220), np.uint8)
+    for i in range(8):
+        x = 20 + i * 24
+        crop[20:340, x:x + 10] = 1
+    contour = np.array([[0, 0], [219, 0], [219, 359], [0, 359]])
+    box = [0, 0, 220, 360]  # [x, y, w, h]
+
+    fixed = stages.textline_postprocess(crop, -90.0, contour, box,
+                                        DEFAULT_CONFIG)
+    assert 6 <= len(fixed) <= 10, f"fix found {len(fixed)} of 8 strokes"
+    # each recovered quad must cover its stroke's center
+    from sbb_textline_detection_tpu.ops import contours as contour_ops
+    centers_x = np.array([25.0 + i * 24 for i in range(8)])
+    centers_y = np.full(8, 180.0)
+    covered = np.zeros(8, bool)
+    for quad in fixed:
+        covered |= contour_ops.points_in_polygon(
+            np.asarray(quad, np.float64), centers_x, centers_y)
+    assert covered.sum() >= 6
+
+    cfg_ref = dataclasses.replace(
+        DEFAULT_CONFIG,
+        line_split=LineSplitConfig(vertical_axis_fix=False))
+    broken = stages.textline_postprocess(crop, -90.0, contour, box, cfg_ref)
+    assert len(broken) <= 2  # the preserved reference behavior
