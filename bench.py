@@ -56,9 +56,18 @@ PEAK_FLOPS = float(os.environ.get("SBB_BENCH_PEAK_FLOPS", 197e12))
 # instead of failing validation (CLAUDE.md). v5 = v4 (narrow
 # FLAGSHIP_WIDTHS trunk + hardened corpus) + vertical-texture pages in
 # the border-model task (page_batch) — without them the border model
-# cropped away whole columns of vertical-text pages.
+# cropped away whole columns of vertical-text pages. v6-v8 iterated
+# patch-level figure hardening and each REGRESSED the bench (paired
+# quality probe, PERF.md figure-precision ladder: v8 fragmented
+# paragraphs next to figures and doubled the speck FPs it targeted;
+# overall precision 0.947 -> 0.847). v9 abandons that line: half the
+# dual-head batches are crops of FULL rendered pages at serve-exact
+# working resolution (synthetic._render_pool_page — same NEAREST global
+# resize, page-global Otsu scope, PIL skew rotation, real figure
+# interiors/edges, bleed, vertical), closing the train/serve gap by
+# construction instead of by approximation.
 _CKPT_CACHE = os.environ.get(
-    "SBB_BENCH_CKPT_DIR", os.path.join("/tmp", "sbb_tpu_bench_ckpts_v5"))
+    "SBB_BENCH_CKPT_DIR", os.path.join("/tmp", "sbb_tpu_bench_ckpts_v9"))
 
 
 def _log(msg: str) -> None:

@@ -62,6 +62,10 @@ class LayoutScore:
     line_count_mae: float
     matched: int
     line_recall: float = float("nan")
+    # scan-frame bboxes (x0, y0, x1, y1) of predicted regions that matched
+    # no ground-truth paragraph — the precision diagnostics the bench's
+    # figure-page gate iterates on (PERF.md figure-precision ladder)
+    false_positive_boxes: tuple = ()
 
 
 def _truth_box_in_page_frame(box, layout):
@@ -173,4 +177,7 @@ def evaluate_layout(result, layout, iou_threshold: float = 0.4
         line_count_mae=float(np.mean(line_err)) if line_err else float("nan"),
         matched=len(matched_t),
         line_recall=_line_recall(pred_line_polys, layout),
+        false_positive_boxes=tuple(
+            tuple(float(v) for v in pb)
+            for pi, pb in enumerate(pred_boxes) if pi not in matched_p),
     )

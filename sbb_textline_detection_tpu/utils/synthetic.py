@@ -555,6 +555,107 @@ def _bleed_aug(rng: np.random.Generator, gray: np.ndarray) -> np.ndarray:
     return np.minimum(gray, verso)
 
 
+# --- page-crop stream --------------------------------------------------------
+# Crops of FULL rendered pages at the pipeline's working resolution: the
+# exact serve distribution (NEAREST global resize artifacts, page-global
+# Otsu scope, PIL skew rotation, real figure interiors/edges/captions,
+# bleed, vertical text) instead of hand-built patch approximations.
+# Motivation (PERF.md figure-precision ladder): three rounds of patch-level
+# figure hardening (v6-v8) each regressed the bench — v8 fragmented
+# paragraphs next to figures (page-4 precision 1.0 -> 0.5) and doubled the
+# halftone speck FPs it targeted (page-6 0.58 -> 0.48). Patch-level
+# approximations keep teaching the wrong statistics; crops of real pages
+# cannot, by construction.
+
+_PAGE_POOL: list | None = None
+_PAGE_POOL_SIZE = 14
+
+# bit positions in a pooled page's packed per-pixel byte
+_BIT_BINARY, _BIT_BLOCK, _BIT_STROKE = 1, 2, 4
+
+
+def _render_pool_page(rng: np.random.Generator) -> Tuple[np.ndarray,
+                                                         np.ndarray]:
+    """One pool entry: (gray_u8, packed) at WORKING resolution.
+
+    gray_u8 is channel 0 of the page after the serve-exact global NEAREST
+    resize (stages.scale_image, main.py:196-214); packed bits hold the
+    page-global Otsu binarization (bit 0; threshold scope = whole page,
+    like the page-crop Otsu of runner's fused program) and the truth
+    region-block / line-stroke masks (bits 1-2), PIL-rotated with the page
+    when skewed and resized through the same nearest index maps."""
+    from sbb_textline_detection_tpu.core.config import DEFAULT_CONFIG
+    from sbb_textline_detection_tpu.ops import resize as resize_ops
+    from sbb_textline_detection_tpu.ops import threshold as threshold_ops
+    from sbb_textline_detection_tpu.pipeline import stages
+
+    vertical = rng.uniform() < 0.12
+    skew = 0.0
+    if not vertical and rng.uniform() < 0.6:
+        skew = float(rng.uniform(-25.0, 25.0))
+    degrade = float(rng.uniform(0.3, 1.0)) if rng.uniform() < 0.4 else 0.0
+    figures = int(rng.integers(1, 4)) if rng.uniform() < 0.5 else 0
+    bleed = float(rng.uniform(0.2, 0.5)) if rng.uniform() < 0.35 else 0.0
+    if rng.uniform() < 0.2:
+        h, w = 1754, 1240   # small scan: working scale 2800/1754 ~ 1.6
+    else:
+        h, w = 3508, 2480   # 300-DPI A4: working scale 1.2
+    img, layout = make_page(rng, h, w, skew_deg=skew, degrade=degrade,
+                            figures=figures, bleed=bleed, vertical=vertical)
+
+    block = np.zeros((h, w), np.uint8)
+    stroke = np.zeros((h, w), np.uint8)
+    for (x0, y0, x1, y1) in layout.paragraphs:
+        block[y0:y1, x0:x1] = 1
+    for (x0, y0, x1, y1) in layout.line_boxes:
+        stroke[y0:y1, x0:x1] = 1
+    if skew != 0.0:
+        from PIL import Image
+        block = np.asarray(Image.fromarray(block).rotate(
+            skew, resample=Image.NEAREST, fillcolor=0))
+        stroke = np.asarray(Image.fromarray(stroke).rotate(
+            skew, resample=Image.NEAREST, fillcolor=0))
+
+    th, tw = stages.working_dims(img, DEFAULT_CONFIG)
+    gray = resize_ops.resize_nearest_host(img, th, tw)[:, :, 0]
+    t = threshold_ops.otsu_threshold_host(gray)
+    packed = ((gray > t).astype(np.uint8) * _BIT_BINARY
+              | resize_ops.resize_nearest_host(block, th, tw) * _BIT_BLOCK
+              | resize_ops.resize_nearest_host(stroke, th, tw) * _BIT_STROKE)
+    return gray, packed
+
+
+def _get_page_pool(seed_rng: np.random.Generator) -> list:
+    """Build (once per process) the pool of rendered working-resolution
+    pages the page-crop stream samples from. Deterministic given the
+    first caller's rng stream; ~35 MB/page packed (u8 gray + bit masks),
+    rendered lazily on first use (~2-3 s/page, once per training run)."""
+    global _PAGE_POOL
+    if _PAGE_POOL is None:
+        pool_rng = np.random.default_rng(seed_rng.integers(2 ** 63))
+        _PAGE_POOL = [_render_pool_page(pool_rng)
+                      for _ in range(_PAGE_POOL_SIZE)]
+    return _PAGE_POOL
+
+
+def _page_crop(rng: np.random.Generator, h: int, w: int
+               ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(gray01, binary01, block, stroke) crop from a pooled page, offset
+    uniform over the page (covers printspace interiors, figure interiors
+    and edges, margins, and blank corners in serve-time proportion)."""
+    pool = _get_page_pool(rng)
+    gray_u8, packed = pool[int(rng.integers(len(pool)))]
+    H, W = gray_u8.shape
+    y0 = int(rng.integers(0, max(1, H - h + 1)))
+    x0 = int(rng.integers(0, max(1, W - w + 1)))
+    g = gray_u8[y0:y0 + h, x0:x0 + w]
+    p = packed[y0:y0 + h, x0:x0 + w]
+    return (g.astype(np.float32) / 255.0,
+            ((p & _BIT_BINARY) != 0).astype(np.float32),
+            ((p & _BIT_BLOCK) != 0).astype(np.uint8),
+            ((p & _BIT_STROKE) != 0).astype(np.uint8))
+
+
 def dualhead_batch(rng: np.random.Generator, n: int, h: int, w: int
                    ) -> Tuple[np.ndarray, np.ndarray]:
     """Joint region+textline task for the dual-head flagship
@@ -577,6 +678,17 @@ def dualhead_batch(rng: np.random.Generator, n: int, h: int, w: int
             # serve-time Otsu scope is the whole page crop)
             imgs[i, :, :, 0] = gray
             imgs[i, :, :, 1] = (gray > 0.5).astype(np.float32)
+            continue
+        if min(h, w) >= 224 and rng.uniform() < 0.5:
+            # page-crop stream (see _render_pool_page): serve-exact
+            # working-resolution crops of full rendered pages. The >= 224
+            # guard keeps unit tests and tiny dryrun models from paying
+            # the page-pool render.
+            g, b, blk, stk = _page_crop(rng, h, w)
+            imgs[i, :, :, 0] = g
+            imgs[i, :, :, 1] = b
+            labels[i, :, :, 0] = blk
+            labels[i, :, :, 1] = stk
             continue
         img, stroke, block = _stripes_patch(rng, h, w)
         gray = img[:, :, 0]
