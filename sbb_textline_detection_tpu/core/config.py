@@ -65,6 +65,18 @@ class DeskewConfig:
     slope_sentinel: float = 999.0        # main.py:1740
     slope_reject_abs: float = 120.5      # main.py:1744
     vertical_line_split_abs: float = 45.0  # main.py:1514
+    # DEVIATIONS #15 — vertical re-sweep acceptance guard. The reference
+    # unconditionally replaces any coarse result with |angle| > 15 by the
+    # [-90,-50] re-sweep argmax (main.py:1669-1714), so genuinely
+    # 15-25-degree-skewed HORIZONTAL text gets a vertical angle (measured:
+    # every 18-24 degree bench page came back -50.0 and was then split as
+    # vertical text, |slope| > 45 at main.py:1514). True: accept the
+    # vertical result only when its best profile variance beats the
+    # coarse sweep's (same scorer, same canvas — directly comparable);
+    # real vertical text wins the comparison, steeply skewed horizontal
+    # text keeps its correct coarse angle. False restores the
+    # reference-faithful clobber.
+    vertical_resweep_guard: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

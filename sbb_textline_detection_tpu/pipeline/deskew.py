@@ -434,11 +434,13 @@ class DeskewEngine:
         return vs_dev, radon_flops
 
     def _sweep_collect(self, vs_dev, r: int, angles: np.ndarray,
-                       flops: float = 0.0) -> List[float]:
+                       flops: float = 0.0) -> List[Tuple[float, float]]:
         """Fetch one group's [valid, score] result and pick per-region
-        best angles (upstream argmax semantics, see module docstring).
-        The sweep program's FLOPs are accounted here: np.asarray blocks on
-        the actual execution, so this is where the device seconds accrue."""
+        (best angle, best score) pairs (upstream argmax semantics, see
+        module docstring; the score rides along for the vertical
+        re-sweep guard, DEVIATIONS #15). The sweep program's FLOPs are
+        accounted here: np.asarray blocks on the actual execution, so
+        this is where the device seconds accrue."""
         a = angles.shape[0]
         f = r * a
         with stagetime.device_section(flops):
@@ -449,14 +451,16 @@ class DeskewEngine:
         for i in range(r):
             v = valid[i]
             if not v.any():
-                out.append(0.0)  # upstream: argmax of empty -> except -> 0
+                # upstream: argmax of empty -> except -> 0
+                out.append((0.0, float("-inf")))
             else:
-                out.append(float(angles[v][int(np.argmax(score[i][v]))]))
+                j = int(np.argmax(score[i][v]))
+                out.append((float(angles[v][j]), float(score[i][v][j])))
         return out
 
     def _sweep_batched(self, canvases: np.ndarray, s: int,
-                       angles: np.ndarray) -> List[float]:
-        """(R, S, S) canvases -> per-region best angle over `angles`."""
+                       angles: np.ndarray) -> List[Tuple[float, float]]:
+        """(R, S, S) canvases -> per-region (best angle, best score)."""
         vs_dev, flops = self._sweep_dispatch(canvases, s, angles)
         return self._sweep_collect(vs_dev, canvases.shape[0], angles, flops)
 
@@ -473,17 +477,22 @@ class DeskewEngine:
         # is the only compiled shape per canvas bucket, and HBM stays bounded
         # however many regions the page has. Empty canvas slots score
         # all-invalid -> 0.0 and are discarded.
-        angles = self._sweep_grouped(
+        coarse = self._sweep_grouped(
             crops, s, self._coarse,
             render=lambda crop, out: self._canvas_into(crop, out))
+        angles = [a for a, _ in coarse]
         steep = [i for i, a in enumerate(angles)
                  if abs(a) > self.cfg.vertical_trigger_angle]
         if steep:
             vert = self._sweep_grouped(
                 [crops[i] for i in steep], s, self._vertical,
                 render=lambda crop, out: self._canvas_into(crop, out))
-            for i, a in zip(steep, vert):
-                angles[i] = a
+            guard = self.cfg.vertical_resweep_guard
+            for i, (va, vsc) in zip(steep, vert):
+                # DEVIATIONS #15: with the guard, the vertical result must
+                # out-score the coarse one; upstream replaces it always.
+                if not guard or vsc > coarse[i][1]:
+                    angles[i] = va
         return angles
 
     def _batch_buckets(self) -> List[int]:
@@ -575,6 +584,7 @@ class DeskewEngine:
                float(cfg.pos_peak_min_value),
                float(cfg.vertical_trigger_angle),
                float(cfg.slope_reject_abs),
+               bool(cfg.vertical_resweep_guard),
                self._erode_k, self._erode_it, self._morph_k)
         entry = _AOT_CACHE.get(key)
         if entry is not None:
@@ -639,15 +649,21 @@ class DeskewEngine:
 
             def pick(v, sc, ang):
                 masked = jnp.where(v, sc, -jnp.inf)
-                return jnp.where(v.any(), ang[jnp.argmax(masked)], 0.0)
+                return (jnp.where(v.any(), ang[jnp.argmax(masked)], 0.0),
+                        jnp.max(masked))
 
-            slope_c = jax.vmap(
+            slope_c, score_c = jax.vmap(
                 lambda v, sc: pick(v, sc, angles[:ac_n]))(
                     valid[:, :ac_n], score[:, :ac_n])
-            slope_v = jax.vmap(
+            slope_v, score_v = jax.vmap(
                 lambda v, sc: pick(v, sc, angles[ac_n:]))(
                     valid[:, ac_n:], score[:, ac_n:])
             trigger = jnp.abs(slope_c) > cfg.vertical_trigger_angle
+            if cfg.vertical_resweep_guard:
+                # DEVIATIONS #15: the vertical re-sweep result must
+                # out-score the coarse one (same scorer, same canvas);
+                # upstream replaces unconditionally (main.py:1669-1714).
+                trigger = trigger & (score_v > score_c)
             raw = jnp.where(trigger, slope_v, slope_c)
             final = jnp.where(jnp.abs(raw) > cfg.slope_reject_abs,
                               0.0, raw).astype(jnp.float32)
@@ -793,4 +809,4 @@ class DeskewEngine:
 
     def _sweep(self, canvas: np.ndarray, s: int, angles: np.ndarray) -> float:
         return self._sweep_batched(canvas[None].astype(np.uint8), s,
-                                   np.asarray(angles, np.float32))[0]
+                                   np.asarray(angles, np.float32))[0][0]

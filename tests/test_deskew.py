@@ -107,17 +107,55 @@ def test_vertical_sweep_recovers_steep_rotation():
     assert abs(ang + 70.0) < 2.0
 
 
+@pytest.mark.parametrize("true_angle", [18.0, -21.0, 24.0])
+def test_guard_recovers_steep_horizontal_skew(true_angle):
+    """DEVIATIONS #15, real sweeps: horizontal text at 15-25 degrees of
+    skew keeps its correct coarse angle (the reference-faithful path
+    returns a [-90,-50] angle for every one of these — measured -50.0
+    across the bench's 18-24 degree pages)."""
+    mask = _text_mask()
+    rot = rotate.rotate_image_host(mask.astype(np.float64), true_angle,
+                                   order=3)
+    crop = (np.abs(rot) > 1e-3).astype(np.uint8)
+    ang = deskew.DeskewEngine(DeskewConfig()).best_angle(crop)
+    assert abs(ang + true_angle) < 1.5
+    ref = deskew.DeskewEngine(
+        DeskewConfig(vertical_resweep_guard=False)).best_angle(crop)
+    assert -90.0 <= ref <= -50.0  # the quirk the guard deviates from
+
+
+def test_guard_still_accepts_true_vertical_text():
+    """DEVIATIONS #15: the guard must not break real vertical text — the
+    [-90,-50] re-sweep out-scores the coarse sweep there and is kept."""
+    mask = _text_mask(h=220, w=300, n_lines=6, line_h=8)
+    rot = rotate.rotate_image_host(mask.astype(np.float64), 70.0, order=3)
+    crop = (np.abs(rot) > 1e-3).astype(np.uint8)
+    engine = deskew.DeskewEngine(DeskewConfig())
+    coarse, csc = engine._sweep_grouped(
+        [crop], engine._bucket_for([crop]), engine._coarse,
+        render=lambda c, out: engine._canvas_into(c, out))[0]
+    if abs(coarse) > engine.cfg.vertical_trigger_angle:
+        # only meaningful when the trigger fires; the engine's answer
+        # must then be the vertical-range one
+        ang = engine.best_angle(crop)
+        assert -90.0 <= ang <= -50.0
+        assert abs(ang + 70.0) < 2.0
+
+
 def test_coarse_angle_above_threshold_triggers_vertical_sweep(monkeypatch):
     """best_angles re-sweeps [-90,-50] for regions whose coarse result
-    exceeds the trigger (main.py:1669) and keeps the rest."""
-    engine = deskew.DeskewEngine(DeskewConfig())
+    exceeds the trigger (main.py:1669) and keeps the rest. With the
+    reference-faithful guard OFF, the vertical result replaces the coarse
+    one unconditionally even when it scores worse."""
+    engine = deskew.DeskewEngine(DeskewConfig(vertical_resweep_guard=False))
     calls = []
 
     def fake_sweep(canvases, s, angles):
         calls.append((canvases.shape[0], angles))
         if angles is engine._coarse:
-            return [20.0, 3.0, -17.0] + [0.0] * (canvases.shape[0] - 3)
-        return [-70.0] * canvases.shape[0]
+            return ([(20.0, 9.0), (3.0, 5.0), (-17.0, 8.0)]
+                    + [(0.0, float("-inf"))] * (canvases.shape[0] - 3))
+        return [(-70.0, 1.0)] * canvases.shape[0]
 
     monkeypatch.setattr(engine, "_sweep_batched", fake_sweep)
     m = _text_mask()
@@ -129,8 +167,29 @@ def test_coarse_angle_above_threshold_triggers_vertical_sweep(monkeypatch):
     assert calls[1][1] is engine._vertical
 
 
+def test_vertical_resweep_guard_keeps_outscoring_coarse_angle(monkeypatch):
+    """DEVIATIONS #15: with the guard (default), a steep coarse angle is
+    kept when the vertical re-sweep scores worse (18-degree horizontal
+    text), and replaced when the vertical sweep scores better (true
+    vertical text)."""
+    engine = deskew.DeskewEngine(DeskewConfig())
+
+    def fake_sweep(canvases, s, angles):
+        if angles is engine._coarse:
+            return ([(18.0, 9.0), (20.0, 2.0)]
+                    + [(0.0, float("-inf"))] * (canvases.shape[0] - 2))
+        return [(-70.0, 6.0)] * canvases.shape[0]
+
+    monkeypatch.setattr(engine, "_sweep_batched", fake_sweep)
+    m = _text_mask()
+    # region 0: coarse 18 deg scores 9.0 > vertical 6.0 -> kept;
+    # region 1: coarse 20 deg scores 2.0 < vertical 6.0 -> replaced.
+    assert engine.best_angles([m, m]) == [18.0, -70.0]
+
+
 def test_coarse_angle_below_threshold_skips_vertical_sweep(monkeypatch):
     engine = deskew.DeskewEngine(DeskewConfig())
-    monkeypatch.setattr(engine, "_sweep_batched",
-                        lambda canvases, s, angles: [3.0] * canvases.shape[0])
+    monkeypatch.setattr(
+        engine, "_sweep_batched",
+        lambda canvases, s, angles: [(3.0, 1.0)] * canvases.shape[0])
     assert engine.best_angle(_text_mask()) == 3.0
