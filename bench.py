@@ -60,14 +60,17 @@ PEAK_FLOPS = float(os.environ.get("SBB_BENCH_PEAK_FLOPS", 197e12))
 # patch-level figure hardening and each REGRESSED the bench (paired
 # quality probe, PERF.md figure-precision ladder: v8 fragmented
 # paragraphs next to figures and doubled the speck FPs it targeted;
-# overall precision 0.947 -> 0.847). v9 abandons that line: half the
+# overall precision 0.947 -> 0.847). v9-v10 abandon that line: half the
 # dual-head batches are crops of FULL rendered pages at serve-exact
 # working resolution (synthetic._render_pool_page — same NEAREST global
 # resize, page-global Otsu scope, PIL skew rotation, real figure
 # interiors/edges, bleed, vertical), closing the train/serve gap by
-# construction instead of by approximation.
+# construction instead of by approximation. v9 (x3 schedule, 900 steps)
+# under-trained the broader distribution (mean precision 0.887); v10 is
+# the same stream at the x6 schedule (1800 steps): mean precision 0.983,
+# recall 1.0, every figure-page speck FP gone (paired probe 2026-08-19).
 _CKPT_CACHE = os.environ.get(
-    "SBB_BENCH_CKPT_DIR", os.path.join("/tmp", "sbb_tpu_bench_ckpts_v9"))
+    "SBB_BENCH_CKPT_DIR", os.path.join("/tmp", "sbb_tpu_bench_ckpts_v10"))
 
 
 def _log(msg: str) -> None:
@@ -98,10 +101,12 @@ def ensure_bench_checkpoints(ckpt_dir: str, steps: int, seed: int = 0) -> str:
                 else registry.DEFAULT_SPECS[role])
         # the joint task optimizes two objectives through one trunk AND
         # covers the hardened distribution (vertical text, figures,
-        # bleed, ±25° rotation); triple its schedule — the narrow trunk
-        # trains ~4x faster per step, so this is still cheaper than the
-        # r3 2x schedule was
-        role_steps = steps * 3 if role == "dualhead" else steps
+        # bleed, ±25° rotation) PLUS the page-crop stream's full serve
+        # distribution; x6 schedule (v10 ladder: x3/900 steps left speck
+        # FPs on 6 of 8 probe pages at mean precision 0.887, x6/1800
+        # cleared them at 0.983 — the broader stream needs the extra
+        # optimization, and the narrow trunk trains ~4x faster per step)
+        role_steps = steps * 6 if role == "dualhead" else steps
         _log(f"[bench] training {role} checkpoint "
              f"({role_steps} steps) -> {path}")
         trainer = train.Trainer(spec, learning_rate=3e-4, seed=seed)
@@ -132,11 +137,11 @@ def main() -> None:
                          "batches under-report throughput ~20%)")
     ap.add_argument("--train-steps", type=int,
                     default=int(os.environ.get("SBB_BENCH_TRAIN_STEPS", 300)))
-    # 300 (x3 for the dual-head joint task): the 150-step schedule left
-    # the hardened sub-distributions visibly undertrained — doubling it
-    # moved figure-page region precision 0.664 -> 0.929 and overall
-    # precision 0.874 -> 0.973 (r4 paired runs); training cost ~9 min
-    # once per cache version.
+    # 300 (x6 for the dual-head joint task, see ensure_bench_checkpoints):
+    # the 150-step schedule left the hardened sub-distributions visibly
+    # undertrained (figure-page precision 0.664), and the page-crop
+    # stream needs the x6 dual-head schedule (precision ladder in
+    # PERF.md); training cost ~18 min once per cache version.
     ap.add_argument("--ckpt-dir", default=_CKPT_CACHE)
     ap.add_argument("--page-height", type=int, default=3508)
     ap.add_argument("--page-width", type=int, default=2480)
@@ -218,10 +223,17 @@ def main() -> None:
     warm_timings = detector.warm_up(args.page_height, args.page_width)
     _log(f"[bench] program loads (parallel): " + ", ".join(
         f"{k}={v:.1f}s" for k, v in sorted(warm_timings.items())))
+    t_pass = time.time()
+    warm_page_walls = []
     for _ in detector.process_batch(
             (p, f"warmup_{i}.png") for i, p in enumerate(pages)):
-        pass
+        warm_page_walls.append(time.time() - t_pass)
+        t_pass = time.time()
     warm_up_seconds = time.time() - t0
+    # per-page walls of the warm pass: a page that stalls multiple seconds
+    # here is minting a program shape the parallel warm set missed
+    _log("[bench] warm pass pages: "
+         + " ".join(f"{w:.1f}" for w in warm_page_walls))
     _log(f"[bench] warm-up took {warm_up_seconds:.1f}s")
 
     # Timed pass uses the pipelined batch executor (the product's
