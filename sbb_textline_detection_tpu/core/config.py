@@ -65,17 +65,20 @@ class DeskewConfig:
     slope_sentinel: float = 999.0        # main.py:1740
     slope_reject_abs: float = 120.5      # main.py:1744
     vertical_line_split_abs: float = 45.0  # main.py:1514
-    # DEVIATIONS #15 — vertical re-sweep acceptance guard. The reference
-    # unconditionally replaces any coarse result with |angle| > 15 by the
-    # [-90,-50] re-sweep argmax (main.py:1669-1714), so genuinely
-    # 15-25-degree-skewed HORIZONTAL text gets a vertical angle (measured:
-    # every 18-24 degree bench page came back -50.0 and was then split as
-    # vertical text, |slope| > 45 at main.py:1514). True: accept the
-    # vertical result only when its best profile variance beats the
-    # coarse sweep's (same scorer, same canvas — directly comparable);
-    # real vertical text wins the comparison, steeply skewed horizontal
-    # text keeps its correct coarse angle. False restores the
-    # reference-faithful clobber.
+    # DEVIATIONS #15 — orientation by score. The reference consults the
+    # [-90,-50] vertical sweep only when the coarse [-25,25] argmax
+    # exceeds 15 degrees, and then replaces unconditionally
+    # (main.py:1669-1714). Both halves of that rule fail, measured on the
+    # bench corpus: (a) 15-25-degree-skewed HORIZONTAL text always
+    # triggers and always loses — every 18-24 degree page came back -50.0
+    # and was split as vertical text (|slope| > 45, main.py:1514); (b)
+    # WIDE vertical-text regions have flat coarse profiles whose argmax
+    # lands near 0, never trigger, and emit 1 line for an 8-11-line
+    # region (7 of 10 regions on the bench vertical page). True: run both
+    # sweeps for every region (the resident program already does) and
+    # take the vertical result exactly when its best profile variance
+    # beats the coarse sweep's — same scorer, same canvas, directly
+    # comparable. False restores the reference-faithful trigger+clobber.
     vertical_resweep_guard: bool = True
 
 

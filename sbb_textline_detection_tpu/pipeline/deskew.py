@@ -467,8 +467,10 @@ class DeskewEngine:
     # -- public API ----------------------------------------------------------
     def best_angles(self, crops: Sequence[np.ndarray]) -> List[float]:
         """Reference return_deskew_slope (main.py:1601-1718) for every region
-        of a page in one batched sweep: coarse [-25, 25]; regions whose best
-        coarse angle exceeds the trigger re-sweep [-90, -50] together."""
+        of a page in batched sweeps: coarse [-25, 25] plus the vertical
+        [-90, -50] range, combined per DEVIATIONS #15 (score comparison by
+        default; reference-faithful trigger+clobber at
+        vertical_resweep_guard=False)."""
         crops = list(crops)
         if not crops:
             return []
@@ -481,18 +483,29 @@ class DeskewEngine:
             crops, s, self._coarse,
             render=lambda crop, out: self._canvas_into(crop, out))
         angles = [a for a, _ in coarse]
+        if self.cfg.vertical_resweep_guard:
+            # DEVIATIONS #15: orientation by score — sweep the vertical
+            # range for EVERY region and take its result exactly when it
+            # out-scores the coarse one (the resident program computes
+            # both sweeps unconditionally; this keeps the fallback path
+            # decision-identical).
+            vert = self._sweep_grouped(
+                crops, s, self._vertical,
+                render=lambda crop, out: self._canvas_into(crop, out))
+            for i, (va, vsc) in enumerate(vert):
+                if vsc > coarse[i][1]:
+                    angles[i] = va
+            return angles
+        # reference-faithful: re-sweep only the steep regions and replace
+        # unconditionally (main.py:1669-1714)
         steep = [i for i, a in enumerate(angles)
                  if abs(a) > self.cfg.vertical_trigger_angle]
         if steep:
             vert = self._sweep_grouped(
                 [crops[i] for i in steep], s, self._vertical,
                 render=lambda crop, out: self._canvas_into(crop, out))
-            guard = self.cfg.vertical_resweep_guard
-            for i, (va, vsc) in zip(steep, vert):
-                # DEVIATIONS #15: with the guard, the vertical result must
-                # out-score the coarse one; upstream replaces it always.
-                if not guard or vsc > coarse[i][1]:
-                    angles[i] = va
+            for i, (va, _) in zip(steep, vert):
+                angles[i] = va
         return angles
 
     def _batch_buckets(self) -> List[int]:
@@ -658,13 +671,20 @@ class DeskewEngine:
             slope_v, score_v = jax.vmap(
                 lambda v, sc: pick(v, sc, angles[ac_n:]))(
                     valid[:, ac_n:], score[:, ac_n:])
-            trigger = jnp.abs(slope_c) > cfg.vertical_trigger_angle
             if cfg.vertical_resweep_guard:
-                # DEVIATIONS #15: the vertical re-sweep result must
-                # out-score the coarse one (same scorer, same canvas);
-                # upstream replaces unconditionally (main.py:1669-1714).
-                trigger = trigger & (score_v > score_c)
-            raw = jnp.where(trigger, slope_v, slope_c)
+                # DEVIATIONS #15: orientation by score — take the
+                # vertical-range result exactly when it out-scores the
+                # coarse one (same scorer, same canvas). Upstream only
+                # consults the vertical sweep when |coarse| > 15 and then
+                # replaces unconditionally (main.py:1669-1714): wide
+                # vertical-text regions whose flat coarse profile argmaxes
+                # near 0 never reach it (measured: 7 of 10 regions on the
+                # bench vertical page, 1 line emitted instead of 8-11),
+                # and 15-25-degree horizontal text always loses to it.
+                take_v = score_v > score_c
+            else:
+                take_v = jnp.abs(slope_c) > cfg.vertical_trigger_angle
+            raw = jnp.where(take_v, slope_v, slope_c)
             final = jnp.where(jnp.abs(raw) > cfg.slope_reject_abs,
                               0.0, raw).astype(jnp.float32)
 

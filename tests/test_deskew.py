@@ -125,21 +125,30 @@ def test_guard_recovers_steep_horizontal_skew(true_angle):
 
 
 def test_guard_still_accepts_true_vertical_text():
-    """DEVIATIONS #15: the guard must not break real vertical text — the
-    [-90,-50] re-sweep out-scores the coarse sweep there and is kept."""
+    """DEVIATIONS #15: real vertical text must win the score comparison
+    and get a vertical-range angle — INDEPENDENT of where its flat coarse
+    profile argmaxes (the reference only consults the vertical sweep when
+    |coarse| > 15, which wide vertical regions often fail)."""
     mask = _text_mask(h=220, w=300, n_lines=6, line_h=8)
     rot = rotate.rotate_image_host(mask.astype(np.float64), 70.0, order=3)
     crop = (np.abs(rot) > 1e-3).astype(np.uint8)
-    engine = deskew.DeskewEngine(DeskewConfig())
-    coarse, csc = engine._sweep_grouped(
-        [crop], engine._bucket_for([crop]), engine._coarse,
-        render=lambda c, out: engine._canvas_into(c, out))[0]
-    if abs(coarse) > engine.cfg.vertical_trigger_angle:
-        # only meaningful when the trigger fires; the engine's answer
-        # must then be the vertical-range one
-        ang = engine.best_angle(crop)
-        assert -90.0 <= ang <= -50.0
-        assert abs(ang + 70.0) < 2.0
+    ang = deskew.DeskewEngine(DeskewConfig()).best_angle(crop)
+    assert -90.0 <= ang <= -50.0
+    assert abs(ang + 70.0) < 2.0
+
+
+def test_guard_picks_vertical_for_wide_vertical_text_block():
+    """The bench-vertical-page failure mode (vert_probe 2026-08-19): a
+    WIDE vertical-text region (many tall strokes) has a flat coarse
+    profile whose argmax lands near 0 — below the reference's trigger —
+    so the reference emits 1 line for an 8-11-line region. The score
+    comparison must route it to the vertical range anyway."""
+    # 10 tall narrow strokes advancing in x == a wide vertical paragraph
+    img = np.zeros((260, 300), np.uint8)
+    for li in range(10):
+        img[20:240, 20 + li * 26:28 + li * 26] = 1
+    ang = deskew.DeskewEngine(DeskewConfig()).best_angle(img)
+    assert -90.0 <= ang <= -50.0
 
 
 def test_coarse_angle_above_threshold_triggers_vertical_sweep(monkeypatch):
@@ -188,8 +197,16 @@ def test_vertical_resweep_guard_keeps_outscoring_coarse_angle(monkeypatch):
 
 
 def test_coarse_angle_below_threshold_skips_vertical_sweep(monkeypatch):
-    engine = deskew.DeskewEngine(DeskewConfig())
-    monkeypatch.setattr(
-        engine, "_sweep_batched",
-        lambda canvases, s, angles: [(3.0, 1.0)] * canvases.shape[0])
+    """Reference-faithful mode: no vertical sweep at all below the
+    trigger (the guard mode always runs both and compares scores)."""
+    engine = deskew.DeskewEngine(
+        DeskewConfig(vertical_resweep_guard=False))
+    calls = []
+
+    def fake_sweep(canvases, s, angles):
+        calls.append(angles)
+        return [(3.0, 1.0)] * canvases.shape[0]
+
+    monkeypatch.setattr(engine, "_sweep_batched", fake_sweep)
     assert engine.best_angle(_text_mask()) == 3.0
+    assert all(a is engine._coarse for a in calls)
