@@ -69,8 +69,12 @@ PEAK_FLOPS = float(os.environ.get("SBB_BENCH_PEAK_FLOPS", 197e12))
 # under-trained the broader distribution (mean precision 0.887); v10 is
 # the same stream at the x6 schedule (1800 steps): mean precision 0.983,
 # recall 1.0, every figure-page speck FP gone (paired probe 2026-08-19).
+# Repo-local (.gitignored): /tmp is wiped between container sessions and
+# the v10 dual-head schedule costs ~15 min of TPU training to rebuild.
 _CKPT_CACHE = os.environ.get(
-    "SBB_BENCH_CKPT_DIR", os.path.join("/tmp", "sbb_tpu_bench_ckpts_v10"))
+    "SBB_BENCH_CKPT_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 ".cache", "bench_ckpts_v10"))
 
 
 def _log(msg: str) -> None:

@@ -11,7 +11,12 @@ from __future__ import annotations
 
 import os
 
-_DEFAULT_DIR = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+# Repo-local by default: /tmp is wiped between container sessions, and a
+# cold cache costs ~200 s of page-shape compiles on the first run. The
+# directory is .gitignored.
+_REPO_CACHE = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), ".cache", "jax")
+_DEFAULT_DIR = os.environ.get("JAX_COMPILATION_CACHE_DIR", _REPO_CACHE)
 _enabled = False
 
 

@@ -45,7 +45,8 @@ def main() -> None:
                      for m in HARD_MIX]
 
     for ver in versions:
-        ck = f"/tmp/sbb_tpu_bench_ckpts_{ver}"
+        ck = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".cache", f"bench_ckpts_{ver}")
         ensure_bench_checkpoints(ck, 300)  # trains missing roles
         models = ModelBundle.from_dir(ck, DEFAULT_CONFIG.runtime,
                                       DEFAULT_CONFIG.model_names)
