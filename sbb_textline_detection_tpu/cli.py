@@ -19,11 +19,12 @@ import time
 
 import click
 
-# Persistent XLA compilation cache: page-shaped tiled programs compile in
-# 10-30s each; cache them across processes before jax initializes.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
+# The persistent XLA compilation cache is enabled by
+# core.jaxenv.enable_compilation_cache (TextlineDetector calls it); its
+# default directory is repo-local (.cache/jax) because /tmp is wiped
+# between container sessions — do NOT setdefault a /tmp path here, it
+# would override that default and re-incur ~200 s of cold page-shape
+# compiles per session.
 
 from sbb_textline_detection_tpu.core.config import DEFAULT_CONFIG
 

@@ -1021,11 +1021,21 @@ class TextlineDetector:
         _END = object()
 
         def worker():
+            # Degrade-don't-crash holds PER PAGE in batch mode (reference
+            # contract main.py:2152-2156): a window whose batched forward
+            # fails yields its pages box-less (they run their own small
+            # forward), and if this thread dies for ANY other reason the
+            # remaining pages still flow through box-less instead of being
+            # dropped from the batch.
+            it = None
+            window: List = []
+            put_count = 0
             try:
                 it = iter(images)
                 mh, mw = self.models.page.input_hw
                 while True:
                     window = list(itertools.islice(it, batch))
+                    put_count = 0
                     if not window:
                         break
                     stagetime.reset()
@@ -1062,10 +1072,20 @@ class TextlineDetector:
                         pb = ((pre_boxes[i],) + share
                               if pre_boxes is not None else None)
                         q.put((img, name, pb))
+                        put_count = i + 1
             except BaseException:
-                LOG.warning("page-box prefetch thread died; remaining "
-                            "pages are dropped from this batch",
+                LOG.warning("page-box prefetch thread died; yielding the "
+                            "current window and remaining pages box-less",
                             exc_info=True)
+                for img, name in window[put_count:]:
+                    q.put((img, name, None))
+                try:
+                    for img, name in (it or ()):
+                        q.put((img, name, None))
+                except BaseException:
+                    LOG.warning("page iterator itself failed while "
+                                "draining; pages it never produced cannot "
+                                "be recovered", exc_info=True)
             finally:
                 q.put(_END)
 

@@ -17,7 +17,11 @@ import time
 import click
 import numpy as np
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+# Persistent compilation cache: jaxenv's default is repo-local
+# (.cache/jax — /tmp is wiped between container sessions).
+from sbb_textline_detection_tpu.core import jaxenv
+
+jaxenv.enable_compilation_cache()
 
 
 @click.command()

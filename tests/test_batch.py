@@ -115,6 +115,47 @@ def test_batch_workers_1_matches_2(detector):
             np.testing.assert_array_equal(ca, cb)
 
 
+def test_prefetch_thread_death_drops_no_pages():
+    """Degrade-don't-crash holds per page in batch mode (main.py:2152-2156):
+    if the page-box prefetch THREAD dies (not just the batched forward —
+    that already degrades to box-less items), every input page must still
+    come out of process_batch as a PageResult. A KeyboardInterrupt escapes
+    the worker's inner `except Exception` and exercises the thread-death
+    drain path."""
+    from sbb_textline_detection_tpu.models import registry, runner
+    from tests.test_models import TINY
+
+    variables = registry.init_variables(TINY, seed=0)
+    rt = RuntimeConfig(batch_buckets=(2, 4, 8), deskew_canvas=256,
+                       page_box_batch=4)
+    models = ModelBundle(
+        runner.SegmentationModel(TINY, variables, rt),
+        runner.SegmentationModel(TINY, variables, rt),
+        runner.SegmentationModel(TINY, variables, rt))
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG,
+        resize=ResizePolicy(300, 160, 1.0),
+        deskew=DeskewConfig(coarse_steps=6, vertical_steps=4),
+        runtime=rt)
+    det = TextlineDetector(models, cfg)
+    assert det._page_box_batch_size() == 4  # the path under test is live
+
+    pages = [(_synthetic_page(210, 170), f"p{i}.png") for i in range(6)]
+
+    def dying(smalls, pad_to=None):
+        raise KeyboardInterrupt("injected prefetch-thread death")
+
+    orig = models.page.predict_smalls_prescaled_batch
+    models.page.predict_smalls_prescaled_batch = dying
+    try:
+        results = list(det.process_batch(iter(pages)))
+    finally:
+        models.page.predict_smalls_prescaled_batch = orig
+    assert len(results) == len(pages)
+    for r in results:
+        assert r.xml_tree.getroot().tag.endswith("PcGts")
+
+
 def test_failed_predispatch_not_reattempted():
     """When host_phase_dispatch already attempted (and failed -> None
     handle) the resident deskew dispatch, host_phase must not re-run it —
