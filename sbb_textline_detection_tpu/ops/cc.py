@@ -91,6 +91,60 @@ def label_components(mask: jax.Array) -> jax.Array:
     return lab
 
 
+def component_boxes_topk(mask: jax.Array, k: int,
+                         min_area: jax.Array,
+                         max_area: jax.Array) -> jax.Array:
+    """Bounding boxes of the first `k` 8-connected components of
+    `mask != 0` in row-major scan order, filtered by PIXEL-COUNT area in
+    [min_area, max_area] (traced f32 scalars).
+
+    Device analogue of the host region-contour stage's boundingRect + area
+    filter (reference main.py:465-481 via stages.region_contours_and_boxes)
+    for the speculative deskew dispatch: the bbox of a component always
+    equals the boundingRect of its exterior contour, but the AREA here is
+    the pixel count, not the traced polygon's shoelace area
+    (DEVIATIONS #12 semantics) — callers therefore pass a PERMISSIVE
+    min_area and re-verify each box against the host contour boxes before
+    trusting results derived from it.
+
+    Returns (k, 5) int32 rows [y, x, h, w, valid], filter-passing
+    components compacted to the front in scan order; invalid rows are
+    all-zero. Components beyond the first k (by scan order of their
+    topmost-leftmost pixel) are simply absent."""
+    import numpy as np
+
+    h, w = mask.shape
+    big = np.int32(h * w)
+    lab = label_components(mask)
+    iota = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
+    # a pixel is its component's representative iff its label is its own
+    # flat index; the k smallest representative indices are the first k
+    # components in row-major scan order
+    rep = jnp.where(lab == iota, iota, big).reshape(-1)
+    reps = -jax.lax.top_k(-rep, k)[0]                 # k smallest, ascending
+    found = reps < big
+    hit = lab[None, :, :] == reps[:, None, None]      # (k, h, w)
+    area = hit.sum(axis=(1, 2)).astype(jnp.int32)
+    rows = jnp.any(hit, axis=2)                       # (k, h)
+    cols = jnp.any(hit, axis=1)                       # (k, w)
+    ys = jnp.arange(h, dtype=jnp.int32)[None, :]
+    xs = jnp.arange(w, dtype=jnp.int32)[None, :]
+    y0 = jnp.min(jnp.where(rows, ys, h), axis=1)
+    y1 = jnp.max(jnp.where(rows, ys, -1), axis=1)
+    x0 = jnp.min(jnp.where(cols, xs, w), axis=1)
+    x1 = jnp.max(jnp.where(cols, xs, -1), axis=1)
+    af = area.astype(jnp.float32)
+    ok = found & (af >= min_area) & (af <= max_area)
+    box = jnp.stack([y0, x0, y1 - y0 + 1, x1 - x0 + 1,
+                     ok.astype(jnp.int32)], axis=1)
+    box = jnp.where(ok[:, None], box, 0)
+    # compact passing components to the front, preserving scan order (a
+    # filtered-out speck must not occupy a sweep slot a real region needs)
+    seq = jnp.arange(k, dtype=jnp.int32)
+    order = jnp.argsort(jnp.where(ok, seq, k + seq))
+    return box[order].astype(jnp.int32)
+
+
 def largest_component_box(mask: jax.Array
                           ) -> Tuple[jax.Array, jax.Array]:
     """Bounding box of the largest (pixel-count) 8-connected component.

@@ -339,6 +339,63 @@ def _hat_projection_rows(m: jax.Array, h, w, angle_deg, bufH: int,
     return D[K:K + bufH]
 
 
+def _canvas_maps_graph(h, w, s: int, target_table: jax.Array):
+    """In-graph twin of _canvas_index_maps for TRACED crop dims (h, w):
+    entry i of cy is the crop row rendered at canvas row i (-1 = blank),
+    including the pad_factor downscale decision and centered placement.
+    `target_table[m] = int(m * pad_factor)` is a host-built constant, so
+    the trigger is bit-exact. The downscale indices use the exact integer
+    floor (j*h)//nh where the host computes trunc(j * float64(h/nh)) —
+    equal except when j*h/nh is an exact integer that the host's double
+    rounding lands one ulp below (never observed; tests sample the
+    production shape space densely). Used by the SPECULATIVE deskew
+    program, whose results are only trusted after the host verifies its
+    contour boxes against the device boxes (DEVIATIONS #16)."""
+    mx = jnp.clip(jnp.maximum(h, w), 0, target_table.shape[0] - 1)
+    target = jnp.maximum(target_table[mx], 1)
+    down = target > s
+    nh = jnp.where(down, jnp.maximum(1, (h * s) // target), h)
+    nw = jnp.where(down, jnp.maximum(1, (w * s) // target), w)
+    i = jnp.arange(s, dtype=jnp.int32)
+
+    def axis_map(n, d):
+        j = i - (s // 2 - n // 2)
+        src = jnp.clip((j * d) // jnp.maximum(n, 1), 0,
+                       jnp.maximum(d - 1, 0))
+        return jnp.where((j >= 0) & (j < n) & (d > 0), src,
+                         jnp.int32(-1)).astype(jnp.int32)
+
+    return axis_map(nh, h), axis_map(nw, w)
+
+
+class _SpecPending:
+    """Handle of one speculative resident-deskew dispatch (device boxes):
+    the program's output stays on device until spec_finalize matched the
+    host contour boxes against the fetched device boxes."""
+
+    def __init__(self, out_dev, flops, s, bufH, bufW, slots):
+        self.out_dev = out_dev
+        self.flops = flops
+        self.s = s
+        self.bufH = bufH
+        self.bufW = bufW
+        self.slots = slots
+
+
+class _SpecResolved:
+    """spec_finalize's result: per-region slot mapping into a _SpecPending
+    plus an ordinary resident_dispatch pending for unmatched regions.
+    Consumed by DeskewEngine.resident_collect."""
+
+    def __init__(self, pending: _SpecPending, mapping, boxes_xywh,
+                 fallback, fallback_idx):
+        self.pending = pending
+        self.mapping = mapping            # per region: slot idx or -1
+        self.boxes = boxes_xywh           # host boxes, region order
+        self.fallback = fallback          # resident_dispatch pending or None
+        self.fallback_idx = fallback_idx  # region indices served by fallback
+
+
 class DeskewEngine:
     """Batched deskew sweeps: one device dispatch for all regions of a page."""
 

@@ -116,3 +116,66 @@ def test_page_box_agrees_with_model_res_oracle():
     y1 = -(-(y + bh) * th // mh) - 1
     got = [x0, y0, max(1, x1 - x0 + 1), max(1, y1 - y0 + 1)]
     assert got == want
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_component_boxes_topk_covers_host_contour_boxes(seed):
+    """The speculative-deskew contract: every host contour box that passes
+    the reference area filter (main.py:465-481 semantics via
+    stages.region_contours_and_boxes) must appear VERBATIM among the
+    device top-k boxes when k covers the component count — value matching
+    is exactly how the detector decides to trust a speculative slot."""
+    from sbb_textline_detection_tpu.core.config import DEFAULT_CONFIG
+    from sbb_textline_detection_tpu.pipeline import stages
+
+    rng = np.random.default_rng(200 + seed)
+    m = _random_blob_mask(rng, 80, 96, int(rng.integers(1, 8)))
+    k = 16
+    img_area = float(m.shape[0] * m.shape[1])
+    min_area = 0.5 * DEFAULT_CONFIG.region.min_area_ratio * img_area
+    boxes5 = np.asarray(jax.jit(
+        lambda x: cc.component_boxes_topk(x, k, jnp_f32(min_area),
+                                          jnp_f32(img_area)))(
+        jax.numpy.asarray(m)))
+    dev = {tuple(int(v) for v in b[:4]) for b in boxes5 if b[4]}
+    _, host_boxes = stages.region_contours_and_boxes(m, DEFAULT_CONFIG)
+    for x, y, w, h in host_boxes:
+        assert (y, x, h, w) in dev
+    # valid rows are compacted to the front and scan-ordered
+    vflags = [int(b[4]) for b in boxes5]
+    assert vflags == sorted(vflags, reverse=True)
+
+
+def jnp_f32(v):
+    import jax.numpy as jnp
+    return jnp.float32(v)
+
+
+def test_component_boxes_topk_filters_and_compacts():
+    m = np.zeros((64, 64), np.uint8)
+    m[2:30, 2:30] = 1          # big blob (784 px)
+    m[40, 40] = 1              # single-pixel speck
+    m[50:60, 45:60] = 1        # medium blob (150 px)
+    import jax.numpy as jnp
+    boxes5 = np.asarray(jax.jit(
+        lambda x: cc.component_boxes_topk(x, 4, jnp.float32(2.0),
+                                          jnp.float32(1e9)))(
+        jnp.asarray(m)))
+    assert boxes5[0].tolist() == [2, 2, 28, 28, 1]
+    assert boxes5[1].tolist() == [50, 45, 10, 15, 1]   # speck filtered out
+    assert boxes5[2].tolist() == [0, 0, 0, 0, 0]
+    assert boxes5[3].tolist() == [0, 0, 0, 0, 0]
+
+
+def test_component_boxes_topk_truncates_beyond_k():
+    m = np.zeros((16, 40), np.uint8)
+    for i in range(5):
+        m[2:5, 2 + 7 * i:6 + 7 * i] = 1
+    import jax.numpy as jnp
+    boxes5 = np.asarray(jax.jit(
+        lambda x: cc.component_boxes_topk(x, 3, jnp.float32(1.0),
+                                          jnp.float32(1e9)))(
+        jnp.asarray(m)))
+    # first 3 components in scan order; the last two simply absent
+    assert [b.tolist() for b in boxes5] == [
+        [2, 2, 3, 4, 1], [2, 9, 3, 4, 1], [2, 16, 3, 4, 1]]
