@@ -213,6 +213,21 @@ class RuntimeConfig:
     # Static full-resolution crop buffer cap for the resident deskew
     # program (pages whose region crops exceed it use the host path).
     deskew_buf_max: int = 2816
+    # Speculative resident deskew (raw single-page path): the deskew
+    # program is enqueued directly behind the fused segmentation dispatch
+    # reading DEVICE region boxes (CC top-k over the packed canvas,
+    # ops/cc.component_boxes_topk) — before the packed blob fetch, whose
+    # ~20 MB/s transfer plus host contour tracing used to gate the
+    # dispatch (the r4 critical path). Host contour boxes are matched
+    # against the device boxes BY VALUE at finalize; matched slots are
+    # bit-exact with the ordinary dispatch, everything else falls back to
+    # it (pipeline/deskew.py spec section; DEVIATIONS #16).
+    spec_deskew: bool = True
+    # Slot count of the speculative program (first-k components in scan
+    # order; regions beyond it fall back). One static shape: 16 covers
+    # the bench corpus' ~12 regions/page with headroom; exec scales
+    # ~12 ms/slot (PERF.md), all off the blocking path.
+    deskew_spec_slots: int = 16
     # Pages folded into one fused segmentation dispatch by process_batch
     # (pages x tiles as the forward batch dim; SURVEY §2.4's data-parallel
     # pages). 1 disables grouping: on the single-chip serving tunnel,

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import functools
 import threading
+import time as _time
 from typing import Optional, Tuple
 
 import jax
@@ -46,6 +47,54 @@ from sbb_textline_detection_tpu.utils import stagetime
 # Post-prediction morphology fused into the device program:
 # tuple of ("erode"|"dilate", kernel_size, iterations).
 MorphSpec = Tuple[Tuple[str, int, int], ...]
+
+
+class DeferredFusedRaw:
+    """Dispatched-but-unfetched result of the single-page raw fused
+    program (predict_dual_tiled_resident_raw(defer_fetch=True)): exposes
+    the ON-DEVICE outputs so follow-up programs (the speculative resident
+    deskew, pipeline/deskew.py) can be enqueued behind it BEFORE the host
+    blocks on the blob transfer; fetch() then completes the ordinary
+    return contract."""
+
+    def __init__(self, res, boxes, ny, nx, sh, sw, bits1, keep_dev, proj,
+                 packed_nbytes, flops):
+        self.res = res
+        self.boxes = boxes
+        self.ny, self.nx, self.sh, self.sw = ny, nx, sh, sw
+        self.bits1 = bits1
+        self.keep_dev = keep_dev
+        self.proj = proj
+        self.packed_nbytes = packed_nbytes
+        self.flops = flops
+
+    @property
+    def big_hw(self) -> Tuple[int, int]:
+        return (self.ny * self.sh, self.nx * self.sw)
+
+    @property
+    def blob_dev(self):
+        """The packed device blob (region canvas bytes first)."""
+        return self.res[0] if isinstance(self.res, tuple) else self.res
+
+    @property
+    def textline_dev(self):
+        if not self.keep_dev:
+            return None
+        stack = self.res[1]
+        return stack[0] if stack.ndim == 3 else stack
+
+    def fetch(self):
+        """Block on the blob transfer and return what the non-deferred
+        call would have: the single page's fused tuple."""
+        with stagetime.device_section(self.flops):
+            packed, projs, textline_stack = \
+                SegmentationModel._split_dual_outputs(
+                    self.res, self.keep_dev, self.proj,
+                    self.packed_nbytes, (1, self.ny * self.sh))
+        return SegmentationModel._unpack_dual_pages(
+            packed, projs, textline_stack, self.boxes, self.ny, self.nx,
+            self.sh, self.sw, self.bits1, self.keep_dev, self.proj)[0]
 
 
 def _serialize_compiles(fn):
@@ -870,7 +919,8 @@ class SegmentationModel:
                                         post_morph: Optional[MorphSpec] = None,
                                         return_device_textline: bool = False,
                                         raw_hws=None,
-                                        textline_projection: bool = False):
+                                        textline_projection: bool = False,
+                                        defer_fetch: bool = False):
         """predict_dual_tiled_resident reading from RESIDENT *raw* pages
         (upload_raw): the program's first step gathers the margin-padded
         working canvas out of each raw page through per-axis nearest index
@@ -934,14 +984,29 @@ class SegmentationModel:
             tuple(morph or ()), mask_class, tuple(post_morph or ()), bits1,
             return_device_textline, raw_shape=tuple(stacked.shape),
             proj=textline_projection)
+        npix = k * (ny * sh) * (nx * sw)
+        packed_nbytes = (npix + 7) // 8 if bits1 else (npix + 3) // 4
+        if defer_fetch:
+            # dispatch now, fetch later (DeferredFusedRaw.fetch): the
+            # caller can enqueue programs that READ this program's
+            # on-device outputs (the speculative deskew) before blocking
+            # on the blob transfer. k == 1 (the production raw path).
+            if k != 1:
+                raise ValueError("defer_fetch is single-page only")
+            t0 = _time.time()
+            res = compiled(self.variables, other.variables, stacked, boxes,
+                           jnp.asarray(iy_all), jnp.asarray(ix_all))
+            stagetime.add(_time.time() - t0, 0.0)
+            return DeferredFusedRaw(res, boxes, ny, nx, sh, sw, bits1,
+                                    return_device_textline,
+                                    textline_projection, packed_nbytes,
+                                    flops)
         with stagetime.device_section(flops):
             res = compiled(self.variables, other.variables, stacked, boxes,
                            jnp.asarray(iy_all), jnp.asarray(ix_all))
-            npix = k * (ny * sh) * (nx * sw)
             res = self._split_dual_outputs(
                 res, return_device_textline, textline_projection,
-                (npix + 7) // 8 if bits1 else (npix + 3) // 4,
-                (k, ny * sh))
+                packed_nbytes, (k, ny * sh))
             packed, projs, textline_stack = res
         return self._unpack_dual_pages(packed, projs, textline_stack,
                                        boxes, ny, nx, sh, sw, bits1,

@@ -69,7 +69,6 @@ import numpy as np
 
 from sbb_textline_detection_tpu.core.config import DeskewConfig
 from sbb_textline_detection_tpu.ops import profiles
-from sbb_textline_detection_tpu.ops import resize as resize_ops
 from sbb_textline_detection_tpu.utils import stagetime
 
 _BUCKETS = (256, 512, 1024, 1536, 2048)
@@ -254,18 +253,27 @@ def _score_profiles_impl(P: jax.Array, sigma: float = 2.0,
 
 def _canvas_index_maps(h: int, w: int, s: int, pad_factor: float
                        ) -> Tuple[np.ndarray, np.ndarray]:
-    """Per-axis source-index maps replicating _canvas_into exactly: entry i
-    of cy is the crop row rendered at canvas row i (-1 = blank), including
-    the 1.4x-pad downscale decision and the centered placement."""
+    """Per-axis source-index maps of the sweep-canvas render: entry i of
+    cy is the crop row rendered at canvas row i (-1 = blank), including
+    the 1.4x-pad downscale decision and the centered placement.
+
+    The downscale indices use EXACT integer floors — nh = (h*s)//target,
+    iy[j] = (j*h)//nh — not float-step truncation: the speculative deskew
+    program computes these maps in-graph from traced crop dims
+    (_canvas_maps_graph), and float double-rounding (trunc(j*fl(h/nh)))
+    disagrees with the exact floor on ~10% of downscaled crop sizes
+    (tests/test_deskew_spec.py pinned it), which would silently route
+    those regions past the speculative match. The sweep canvas is already
+    a documented deviation from the reference's per-region
+    1.4*max(h,w) canvas (module docstring); the index model within it is
+    ours to fix. All three implementations (this, _canvas_maps_graph,
+    _canvas_maps_graph_host) are now identical by construction."""
     target = int(max(h, w) * pad_factor)
     if target > s:
-        scale = s / float(max(target, 1))
-        nh = max(1, int(h * scale))
-        nw = max(1, int(w * scale))
-        iy = np.clip((np.arange(nh, dtype=np.float64)
-                      * (h / float(nh))).astype(np.int64), 0, h - 1)
-        ix = np.clip((np.arange(nw, dtype=np.float64)
-                      * (w / float(nw))).astype(np.int64), 0, w - 1)
+        nh = max(1, (h * s) // max(target, 1))
+        nw = max(1, (w * s) // max(target, 1))
+        iy = (np.arange(nh, dtype=np.int64) * h) // nh
+        ix = (np.arange(nw, dtype=np.int64) * w) // nw
     else:
         nh, nw = h, w
         iy = np.arange(h, dtype=np.int64)
@@ -344,13 +352,10 @@ def _canvas_maps_graph(h, w, s: int, target_table: jax.Array):
     entry i of cy is the crop row rendered at canvas row i (-1 = blank),
     including the pad_factor downscale decision and centered placement.
     `target_table[m] = int(m * pad_factor)` is a host-built constant, so
-    the trigger is bit-exact. The downscale indices use the exact integer
-    floor (j*h)//nh where the host computes trunc(j * float64(h/nh)) —
-    equal except when j*h/nh is an exact integer that the host's double
-    rounding lands one ulp below (never observed; tests sample the
-    production shape space densely). Used by the SPECULATIVE deskew
-    program, whose results are only trusted after the host verifies its
-    contour boxes against the device boxes (DEVIATIONS #16)."""
+    the trigger is bit-exact; the downscale indices are the same exact
+    integer floors _canvas_index_maps uses — identical by construction
+    (tests/test_deskew_spec.py). Used by the SPECULATIVE deskew program
+    (DEVIATIONS #16)."""
     mx = jnp.clip(jnp.maximum(h, w), 0, target_table.shape[0] - 1)
     target = jnp.maximum(target_table[mx], 1)
     down = target > s
@@ -368,32 +373,166 @@ def _canvas_maps_graph(h, w, s: int, target_table: jax.Array):
     return axis_map(nh, h), axis_map(nw, w)
 
 
+def _canvas_maps_graph_host(h: int, w: int, s: int, pad_factor: float
+                            ) -> Tuple[np.ndarray, np.ndarray]:
+    """Numpy twin of _canvas_maps_graph (exact integer arithmetic, no
+    tracing): what the SPECULATIVE program rendered for an (h, w) crop.
+    spec_finalize compares this against _canvas_index_maps per matched
+    region; since all three implementations use the same exact integer
+    floors the check is always-true today — it stays as a guard against
+    future drift in either implementation (a silent mismatch would
+    un-speculate regions, correct but slow)."""
+    target = max(int(max(h, w) * pad_factor), 1)
+    if target > s:
+        nh = max(1, (h * s) // target)
+        nw = max(1, (w * s) // target)
+    else:
+        nh, nw = h, w
+
+    def axis_map(n, d):
+        out = np.full(s, -1, np.int32)
+        j = np.arange(s, dtype=np.int64) - (s // 2 - n // 2)
+        ok = (j >= 0) & (j < n) & (d > 0)
+        src = np.clip((j * d) // max(n, 1), 0, max(d - 1, 0))
+        out[ok] = src[ok]
+        return out
+
+    return axis_map(nh, h), axis_map(nw, w)
+
+
 class _SpecPending:
     """Handle of one speculative resident-deskew dispatch (device boxes):
     the program's output stays on device until spec_finalize matched the
     host contour boxes against the fetched device boxes."""
 
-    def __init__(self, out_dev, flops, s, bufH, bufW, slots):
+    def __init__(self, out_dev, flops, s, bufH, bufW, slots, mask_dev):
         self.out_dev = out_dev
         self.flops = flops
         self.s = s
         self.bufH = bufH
         self.bufW = bufW
         self.slots = slots
+        self.mask_dev = mask_dev
 
 
 class _SpecResolved:
-    """spec_finalize's result: per-region slot mapping into a _SpecPending
-    plus an ordinary resident_dispatch pending for unmatched regions.
-    Consumed by DeskewEngine.resident_collect."""
+    """spec_finalize's result: per-region slot mapping into a fetched
+    speculative output plus an ordinary resident_dispatch pending for
+    unmatched regions. Consumed by DeskewEngine.resident_collect."""
 
-    def __init__(self, pending: _SpecPending, mapping, boxes_xywh,
-                 fallback, fallback_idx):
+    def __init__(self, pending: _SpecPending, out, mapping, boxes_xywh,
+                 fallback):
         self.pending = pending
+        self.out = out                    # fetched (slots, 5+1+bufH+bufW)
         self.mapping = mapping            # per region: slot idx or -1
-        self.boxes = boxes_xywh           # host boxes, region order
+        self.boxes = boxes_xywh           # host boxes (x,y,w,h) order
         self.fallback = fallback          # resident_dispatch pending or None
-        self.fallback_idx = fallback_idx  # region indices served by fallback
+
+
+def _resident_chain(mask, boxes, cy, cx, angles, *, B, ac_n, f, ridx, aidx,
+                    s, chunk, use_pallas, cfg, erode_eff, morph_k,
+                    bufH, bufW):
+    """The per-region device chain shared by the resident program (host
+    boxes + host canvas maps) and the SPECULATIVE program (device boxes +
+    in-graph maps): crop gather -> erode -> canvas render -> coarse +
+    vertical Radon sweeps -> scores -> slope decision -> OPEN/CLOSE ->
+    rotated-projection profiles. `boxes`: (B, 4) int32 [y, x, h, w];
+    returns (B, 1 + bufH + bufW) float32 [slope | row profile | col
+    profile]. Values are independent of B (slots are independent; the
+    lax.map chunking changes block membership, not per-pair arithmetic)
+    and of bufH/bufW (out-of-crop cells are neutral and contribute exact
+    zeros) — the bit-parity basis of the speculative match."""
+    a_all = int(angles.shape[0])
+    binm = (mask != 0).astype(jnp.uint8)
+    padded = jnp.pad(binm, ((0, bufH), (0, bufW)))
+    ar = jnp.arange(bufH, dtype=jnp.int32)
+    acol = jnp.arange(bufW, dtype=jnp.int32)
+
+    def crop_of(box):
+        # crop at origin; out-of-crop = 1 (erode neutral, matching the
+        # host path's +inf border, main.py:1734 semantics)
+        sl = jax.lax.dynamic_slice(padded, (box[0], box[1]),
+                                   (bufH, bufW))
+        inside = (ar[:, None] < box[2]) & (acol[None, :] < box[3])
+        return jnp.where(inside, sl, jnp.uint8(1))
+
+    crops = jax.vmap(crop_of)(boxes)
+    e2 = _min_sep_u8(crops, erode_eff)
+
+    def render(eb, cyb, cxb):
+        rows = jnp.take(eb, jnp.clip(cyb, 0, bufH - 1), axis=0)
+        cv = jnp.take(rows, jnp.clip(cxb, 0, bufW - 1), axis=1)
+        ok = (cyb[:, None] >= 0) & (cxb[None, :] >= 0)
+        return jnp.where(ok, cv, jnp.uint8(0))
+
+    canv = jax.vmap(render)(e2, cy, cx).astype(jnp.float32)
+    P = _radon_pairs(canv, angles,
+                     jnp.asarray(ridx, jnp.int32),
+                     jnp.asarray(aidx, jnp.int32),
+                     s, chunk, use_pallas)
+    vs = _score_profiles_impl(
+        P, sigma=float(cfg.sigma),
+        multiplier=float(cfg.peak_threshold_multiplier),
+        pos_min=float(cfg.pos_peak_min_value))
+    valid = vs[0][:f].reshape(B, a_all) != 0.0
+    score = vs[1][:f].reshape(B, a_all)
+
+    def pick(v, sc, ang):
+        masked = jnp.where(v, sc, -jnp.inf)
+        return (jnp.where(v.any(), ang[jnp.argmax(masked)], 0.0),
+                jnp.max(masked))
+
+    slope_c, score_c = jax.vmap(
+        lambda v, sc: pick(v, sc, angles[:ac_n]))(
+            valid[:, :ac_n], score[:, :ac_n])
+    slope_v, score_v = jax.vmap(
+        lambda v, sc: pick(v, sc, angles[ac_n:]))(
+            valid[:, ac_n:], score[:, ac_n:])
+    if cfg.vertical_resweep_guard:
+        # DEVIATIONS #15: orientation by score — take the vertical-range
+        # result exactly when it out-scores the coarse one (same scorer,
+        # same canvas). Upstream only consults the vertical sweep when
+        # |coarse| > 15 and then replaces unconditionally
+        # (main.py:1669-1714): wide vertical-text regions whose flat
+        # coarse profile argmaxes near 0 never reach it (measured: 7 of
+        # 10 regions on the bench vertical page, 1 line emitted instead
+        # of 8-11), and 15-25-degree horizontal text always loses to it.
+        take_v = score_v > score_c
+    else:
+        take_v = jnp.abs(slope_c) > cfg.vertical_trigger_angle
+    raw = jnp.where(take_v, slope_v, slope_c)
+    final = jnp.where(jnp.abs(raw) > cfg.slope_reject_abs,
+                      0.0, raw).astype(jnp.float32)
+
+    def insided(x, fill):
+        def one(xb, box):
+            inside = ((ar[:, None] < box[2])
+                      & (acol[None, :] < box[3]))
+            return jnp.where(inside, xb, jnp.uint8(fill))
+        return jax.vmap(one)(x, boxes)
+
+    # OPEN then CLOSE (main.py:1478-1479) with the host path's
+    # neutral-border discipline per primitive
+    post = insided(e2, 1)
+    post = _min_sep_u8(post, morph_k)
+    post = insided(post, 0)
+    post = _max_sep_u8(post, morph_k)
+    post = insided(post, 0)
+    post = _max_sep_u8(post, morph_k)
+    post = insided(post, 1)
+    post = _min_sep_u8(post, morph_k)
+    post = insided(post, 0)
+
+    def prof_of(args):
+        m_u8, box, ang = args
+        m = m_u8.astype(jnp.float32)
+        h, w = box[2], box[3]
+        p1 = _hat_projection_rows(m, h, w, ang, bufH, bufW)
+        p0 = _hat_projection_rows(m.T, w, h, -ang, bufW, bufH)
+        return p1, p0
+
+    p1, p0 = jax.lax.map(prof_of, (post, boxes, final))
+    return jnp.concatenate([final[:, None], p1, p0], axis=1)
 
 
 class DeskewEngine:
@@ -430,20 +569,17 @@ class DeskewEngine:
                                      cfg.vertical_steps).astype(np.float32)
 
     def _canvas_into(self, crop: np.ndarray, out: np.ndarray) -> None:
-        """Center `crop` (binarized, downscaled if needed) into square `out`."""
+        """Center `crop` (binarized, downscaled if needed) into square
+        `out` — exactly the _canvas_index_maps gather, so the host sweep
+        path, the resident program, and the speculative program all
+        render identical canvases (see _canvas_index_maps on the integer
+        downscale indices)."""
         s = out.shape[0]
         h, w = crop.shape
-        target = int(max(h, w) * self.cfg.pad_factor)
-        if target > s:
-            scale = s / float(max(target, 1))
-            nh = max(1, int(h * scale))
-            nw = max(1, int(w * scale))
-            crop = resize_ops.resize_nearest_host(crop, nh, nw)
-            h, w = nh, nw
-        cp = s // 2
-        y0 = cp - h // 2
-        x0 = cp - w // 2
-        out[y0:y0 + h, x0:x0 + w] = (crop != 0)
+        cy, cx = _canvas_index_maps(h, w, s, self.cfg.pad_factor)
+        oky = cy >= 0
+        okx = cx >= 0
+        out[np.ix_(oky, okx)] = crop[np.ix_(cy[oky], cx[okx])] != 0
 
     def _bucket_for(self, crops: Sequence[np.ndarray]) -> int:
         target = 32
@@ -683,97 +819,11 @@ class DeskewEngine:
 
         def fn(mask, boxes, cy, cx, angles):
             # boxes: (B, 4) int32 [y, x, h, w]
-            binm = (mask != 0).astype(jnp.uint8)
-            padded = jnp.pad(binm, ((0, bufH), (0, bufW)))
-            ar = jnp.arange(bufH, dtype=jnp.int32)
-            acol = jnp.arange(bufW, dtype=jnp.int32)
-
-            def crop_of(box):
-                # crop at origin; out-of-crop = 1 (erode neutral, matching
-                # the host path's +inf border, main.py:1734 semantics)
-                sl = jax.lax.dynamic_slice(padded, (box[0], box[1]),
-                                           (bufH, bufW))
-                inside = (ar[:, None] < box[2]) & (acol[None, :] < box[3])
-                return jnp.where(inside, sl, jnp.uint8(1))
-
-            crops = jax.vmap(crop_of)(boxes)
-            e2 = _min_sep_u8(crops, erode_eff)
-
-            def render(eb, cyb, cxb):
-                rows = jnp.take(eb, jnp.clip(cyb, 0, bufH - 1), axis=0)
-                cv = jnp.take(rows, jnp.clip(cxb, 0, bufW - 1), axis=1)
-                ok = (cyb[:, None] >= 0) & (cxb[None, :] >= 0)
-                return jnp.where(ok, cv, jnp.uint8(0))
-
-            canv = jax.vmap(render)(e2, cy, cx).astype(jnp.float32)
-            P = _radon_pairs(canv, angles,
-                             jnp.asarray(ridx, jnp.int32),
-                             jnp.asarray(aidx, jnp.int32),
-                             s, chunk, use_pallas)
-            vs = _score_profiles_impl(
-                P, sigma=float(cfg.sigma),
-                multiplier=float(cfg.peak_threshold_multiplier),
-                pos_min=float(cfg.pos_peak_min_value))
-            valid = vs[0][:f].reshape(B, a_all) != 0.0
-            score = vs[1][:f].reshape(B, a_all)
-
-            def pick(v, sc, ang):
-                masked = jnp.where(v, sc, -jnp.inf)
-                return (jnp.where(v.any(), ang[jnp.argmax(masked)], 0.0),
-                        jnp.max(masked))
-
-            slope_c, score_c = jax.vmap(
-                lambda v, sc: pick(v, sc, angles[:ac_n]))(
-                    valid[:, :ac_n], score[:, :ac_n])
-            slope_v, score_v = jax.vmap(
-                lambda v, sc: pick(v, sc, angles[ac_n:]))(
-                    valid[:, ac_n:], score[:, ac_n:])
-            if cfg.vertical_resweep_guard:
-                # DEVIATIONS #15: orientation by score — take the
-                # vertical-range result exactly when it out-scores the
-                # coarse one (same scorer, same canvas). Upstream only
-                # consults the vertical sweep when |coarse| > 15 and then
-                # replaces unconditionally (main.py:1669-1714): wide
-                # vertical-text regions whose flat coarse profile argmaxes
-                # near 0 never reach it (measured: 7 of 10 regions on the
-                # bench vertical page, 1 line emitted instead of 8-11),
-                # and 15-25-degree horizontal text always loses to it.
-                take_v = score_v > score_c
-            else:
-                take_v = jnp.abs(slope_c) > cfg.vertical_trigger_angle
-            raw = jnp.where(take_v, slope_v, slope_c)
-            final = jnp.where(jnp.abs(raw) > cfg.slope_reject_abs,
-                              0.0, raw).astype(jnp.float32)
-
-            def insided(x, fill):
-                def one(xb, box):
-                    inside = ((ar[:, None] < box[2])
-                              & (acol[None, :] < box[3]))
-                    return jnp.where(inside, xb, jnp.uint8(fill))
-                return jax.vmap(one)(x, boxes)
-
-            # OPEN then CLOSE (main.py:1478-1479) with the host path's
-            # neutral-border discipline per primitive
-            post = insided(e2, 1)
-            post = _min_sep_u8(post, morph_k)
-            post = insided(post, 0)
-            post = _max_sep_u8(post, morph_k)
-            post = insided(post, 0)
-            post = _max_sep_u8(post, morph_k)
-            post = insided(post, 1)
-            post = _min_sep_u8(post, morph_k)
-            post = insided(post, 0)
-
-            def prof_of(args):
-                m_u8, box, ang = args
-                m = m_u8.astype(jnp.float32)
-                h, w = box[2], box[3]
-                p1 = _hat_projection_rows(m, h, w, ang, bufH, bufW)
-                p0 = _hat_projection_rows(m.T, w, h, -ang, bufW, bufH)
-                return p1, p0
-
-            p1, p0 = jax.lax.map(prof_of, (post, boxes, final))
-            return jnp.concatenate([final[:, None], p1, p0], axis=1)
+            return _resident_chain(
+                mask, boxes, cy, cx, angles, B=B, ac_n=ac_n, f=f,
+                ridx=ridx, aidx=aidx, s=s, chunk=chunk,
+                use_pallas=use_pallas, cfg=cfg, erode_eff=erode_eff,
+                morph_k=morph_k, bufH=bufH, bufW=bufW)
 
         mask_ex = jax.ShapeDtypeStruct((H, W), jnp.uint8)
         boxes_ex = jax.ShapeDtypeStruct((B, 4), jnp.int32)
@@ -864,7 +914,10 @@ class DeskewEngine:
         return pending
 
     def resident_collect(self, pending):
-        """Fetch the results of resident_dispatch: (slopes, profiles)."""
+        """Fetch the results of resident_dispatch (or consume a
+        spec_finalize resolution): (slopes, profiles)."""
+        if isinstance(pending, _SpecResolved):
+            return self._spec_collect(pending)
         slopes: List[float] = []
         profiles = []
         for out_dev, flops, group, bufH in pending:
@@ -875,6 +928,242 @@ class DeskewEngine:
                 p1 = out[i, 1:1 + h]
                 p0 = out[i, 1 + bufH:1 + bufH + w]
                 profiles.append((p1, p0))
+        return slopes, profiles
+
+    # -- speculative path (device region boxes) -------------------------------
+    #
+    # The serving pipeline's last serialized dependency (round-5 work): the
+    # resident deskew dispatch for page N used to wait for N's packed blob
+    # FETCH (~20 MB/s tunnel) plus host contour tracing before
+    # host_phase_dispatch could enqueue it. The speculative program instead
+    # reads the fused segmentation program's own outputs in HBM: it unpacks
+    # the packed region canvas, labels components and takes the first
+    # `slots` bounding boxes ON DEVICE (ops/cc.component_boxes_topk — the
+    # device analogue of main.py:465-481's boundingRect + area filter, with
+    # DEVIATIONS #12 pixel-count-area semantics), renders their sweep
+    # canvases through in-graph index maps, and runs the full resident
+    # chain — dispatched back-to-back with the segmentation program, BEFORE
+    # the blob fetch. The host later matches its contour boxes against the
+    # device boxes BY VALUE: a slot is trusted only when the box quadruple
+    # is identical and the in-graph canvas maps equal the host maps, which
+    # makes a matched slot bit-exact with the ordinary resident path (the
+    # chain's values are independent of slot count and buffer size — see
+    # _resident_chain). Everything unmatched falls back to the ordinary
+    # dispatch. See DEVIATIONS #16.
+
+    def spec_canvas(self) -> int:
+        """The speculative sweep's static canvas bucket: the largest
+        bucket the engine can pick (pages whose regions are all small
+        enough that _bucket_for_sizes picks a smaller one fall back —
+        scores are canvas-dependent, so a bucket mismatch is a value
+        mismatch)."""
+        return next((b for b in reversed(_BUCKETS) if b <= self.max_canvas),
+                    self.max_canvas)
+
+    def spec_buffer_shape(self, mask_shape) -> Tuple[int, int]:
+        """Static crop buffer of the speculative program: one shape only
+        (the program is dispatched before region sizes are known).
+        Height is capped at 1024 — taller regions fall back to the
+        ordinary dispatch, which right-sizes per group; a capH-sized
+        speculative buffer would pay the tall-buffer projection cost for
+        EVERY region on every page (~40 ms/group measured, PERF.md)."""
+        capH, capW = self.resident_buffer_shape(mask_shape)
+        return min(1024, capH), capW
+
+    def _aot_spec(self, blob_len: int, packed_nbytes: int, big_hw,
+                  slots: int):
+        """AOT-compile (once per shape) the speculative program:
+        packed blob -> unpack -> crop-mask -> CC top-k boxes -> in-graph
+        canvas maps -> _resident_chain; output rows are
+        [box5 | slope | row profile | col profile]."""
+        cfg = self.cfg
+        s = self.spec_canvas()
+        bufH, bufW = self.spec_buffer_shape(big_hw)
+        B = slots
+        ac_n = self._coarse.shape[0]
+        av_n = self._vertical.shape[0]
+        a_all = ac_n + av_n
+        f = B * a_all
+        chunk = min(self.chunk, f)
+        f_pad = ((f + chunk - 1) // chunk) * chunk
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            from sbb_textline_detection_tpu.ops import pallas_radon
+            use_pallas = (jax.default_backend() == "tpu"
+                          and pallas_radon.supported(s))
+        use_pallas = bool(use_pallas)
+        key = ("spec", blob_len, packed_nbytes, tuple(big_hw), B, s,
+               bufH, bufW, ac_n, av_n, chunk, use_pallas,
+               float(cfg.sigma), float(cfg.peak_threshold_multiplier),
+               float(cfg.pos_peak_min_value),
+               float(cfg.vertical_trigger_angle),
+               float(cfg.slope_reject_abs), float(cfg.pad_factor),
+               bool(cfg.vertical_resweep_guard),
+               self._erode_k, self._erode_it, self._morph_k)
+        entry = _AOT_CACHE.get(key)
+        if entry is not None:
+            return entry
+        with _AOT_LOCK:
+            return self._spec_fn_locked(key, blob_len, packed_nbytes,
+                                        big_hw, B, s, bufH, bufW, ac_n,
+                                        a_all, f, f_pad, chunk, use_pallas)
+
+    def _spec_fn_locked(self, key, blob_len, packed_nbytes, big_hw, B, s,
+                        bufH, bufW, ac_n, a_all, f, f_pad, chunk,
+                        use_pallas):
+        entry = _AOT_CACHE.get(key)
+        if entry is not None:
+            return entry
+        from sbb_textline_detection_tpu.ops import cc as cc_ops
+        from sbb_textline_detection_tpu.ops import pack as pack_ops
+
+        cfg = self.cfg
+        H, W = big_hw
+        erode_eff = (self._erode_k - 1) * self._erode_it + 1
+        morph_k = self._morph_k
+        ridx = np.repeat(np.arange(B), a_all)
+        aidx = np.tile(np.arange(a_all), B)
+        ridx = np.concatenate([ridx, np.zeros(f_pad - f, np.int64)])
+        aidx = np.concatenate([aidx, np.zeros(f_pad - f, np.int64)])
+        # target_table[m] = int(m * pad_factor): host-built so the
+        # downscale trigger is bit-exact with _canvas_index_maps
+        ttable = (np.arange(max(H, W) + 1, dtype=np.float64)
+                  * float(cfg.pad_factor)).astype(np.int32)
+
+        def fn(blob, mask, hw, amin, amax, angles):
+            region = pack_ops.unpack1_device(blob[:packed_nbytes], (H, W))
+            ins = ((jnp.arange(H, dtype=jnp.int32)[:, None] < hw[0])
+                   & (jnp.arange(W, dtype=jnp.int32)[None, :] < hw[1]))
+            # outside-crop canvas pixels are white-tile predictions the
+            # host never sees (it slices [:h, :w]); without this mask
+            # they would mint phantom components or merge across the
+            # crop border
+            m = jnp.where(ins, region, 0)
+            boxes5 = cc_ops.component_boxes_topk(m, B, amin, amax)
+            tt = jnp.asarray(ttable)
+            cy, cx = jax.vmap(
+                lambda b: _canvas_maps_graph(b[2], b[3], s, tt))(boxes5)
+            out = _resident_chain(
+                mask, boxes5[:, :4], cy, cx, angles, B=B, ac_n=ac_n, f=f,
+                ridx=ridx, aidx=aidx, s=s, chunk=chunk,
+                use_pallas=use_pallas, cfg=cfg, erode_eff=erode_eff,
+                morph_k=morph_k, bufH=bufH, bufW=bufW)
+            # box values ride in the output rows (< 2^24: exact in f32)
+            return jnp.concatenate([boxes5.astype(jnp.float32), out],
+                                   axis=1)
+
+        blob_ex = jax.ShapeDtypeStruct((blob_len,), jnp.uint8)
+        mask_ex = jax.ShapeDtypeStruct((H, W), jnp.uint8)
+        hw_ex = jax.ShapeDtypeStruct((2,), jnp.int32)
+        a_ex = jax.ShapeDtypeStruct((), jnp.float32)
+        ang_ex = jax.ShapeDtypeStruct((a_all,), jnp.float32)
+        compiled = jax.jit(fn).lower(blob_ex, mask_ex, hw_ex, a_ex, a_ex,
+                                     ang_ex).compile()
+        entry = (compiled, stagetime.flops_of(compiled))
+        _AOT_CACHE[key] = entry
+        return entry
+
+    def spec_dispatch(self, blob_dev, packed_nbytes: int, big_hw,
+                      mask_dev, crop_hw, min_area: float, max_area: float,
+                      slots: int = 16) -> _SpecPending:
+        """Enqueue the speculative resident deskew right behind the fused
+        segmentation program whose outputs it reads: `blob_dev` the packed
+        1-BIT blob (region canvas bytes first), `mask_dev` the resident
+        textline canvas, `crop_hw` the page-crop (h, w), min/max_area the
+        PERMISSIVE pixel-count bounds (see component_boxes_topk). Returns
+        a _SpecPending for spec_finalize."""
+        if tuple(mask_dev.shape) != tuple(big_hw):
+            raise ValueError(f"textline canvas {mask_dev.shape} != region "
+                             f"canvas {tuple(big_hw)}")
+        compiled, flops = self._aot_spec(int(blob_dev.shape[0]),
+                                         packed_nbytes, tuple(big_hw),
+                                         slots)
+        angles = np.concatenate([self._coarse, self._vertical])
+        hw = np.asarray(crop_hw, np.int32)
+        t0 = __import__("time").time()
+        out_dev = compiled(blob_dev, mask_dev, jnp.asarray(hw),
+                           jnp.float32(min_area), jnp.float32(max_area),
+                           jnp.asarray(angles))
+        stagetime.add(__import__("time").time() - t0, 0.0)
+        bufH, bufW = self.spec_buffer_shape(big_hw)
+        return _SpecPending(out_dev, flops, self.spec_canvas(), bufH, bufW,
+                            slots, mask_dev)
+
+    def spec_finalize(self, pending: _SpecPending, boxes_xywh):
+        """Match the host contour boxes against the speculative device
+        boxes and return a handle for resident_collect. A region uses its
+        speculative slot only when (a) the page's canvas bucket equals the
+        speculative one, (b) the box fits the speculative crop buffer,
+        (c) the in-graph canvas maps equal the host maps for its (h, w),
+        and (d) a valid device slot holds the IDENTICAL box quadruple —
+        together these make the slot bit-exact with resident_dispatch's
+        result for that box. Everything else is served by an ordinary
+        fallback dispatch. Raises ValueError exactly where
+        resident_dispatch would (region exceeds the resident buffer)."""
+        boxes_xywh = [list(map(int, b)) for b in boxes_xywh]
+        n = len(boxes_xywh)
+        if n == 0:
+            return []
+        H, W = pending.mask_dev.shape
+        capH, capW = self.resident_buffer_shape((H, W))
+        for x, y, w, h in boxes_xywh:
+            if h > capH or w > capW:
+                raise ValueError(
+                    f"region {h}x{w} exceeds the resident deskew buffer "
+                    f"{capH}x{capW}; host path required")
+        s_host = self._bucket_for_sizes([(b[3], b[2]) for b in boxes_xywh])
+        if s_host != pending.s:
+            # canvas-bucket mismatch is a VALUE mismatch (scores are
+            # canvas-dependent): the whole page falls back
+            return self.resident_dispatch(pending.mask_dev, boxes_xywh)
+        with stagetime.device_section(pending.flops):
+            out = np.asarray(pending.out_dev)
+        dev_boxes = out[:, :5].astype(np.int64)
+        mapping = [-1] * n
+        used = set()
+        for i, (x, y, w, h) in enumerate(boxes_xywh):
+            if h > pending.bufH or w > pending.bufW:
+                continue
+            gm = _canvas_maps_graph_host(h, w, pending.s,
+                                         self.cfg.pad_factor)
+            hm = _canvas_index_maps(h, w, pending.s, self.cfg.pad_factor)
+            if not (np.array_equal(gm[0], hm[0])
+                    and np.array_equal(gm[1], hm[1])):
+                continue
+            for j in range(pending.slots):
+                if j in used or dev_boxes[j, 4] == 0:
+                    continue
+                if (dev_boxes[j, 0] == y and dev_boxes[j, 1] == x
+                        and dev_boxes[j, 2] == h and dev_boxes[j, 3] == w):
+                    mapping[i] = j
+                    used.add(j)
+                    break
+        fb_idx = [i for i, mj in enumerate(mapping) if mj < 0]
+        fallback = (self.resident_dispatch(
+            pending.mask_dev, [boxes_xywh[i] for i in fb_idx])
+            if fb_idx else None)
+        return _SpecResolved(pending, out, mapping, boxes_xywh, fallback)
+
+    def _spec_collect(self, r: _SpecResolved):
+        fb_slopes: List[float] = []
+        fb_profiles: list = []
+        if r.fallback is not None:
+            fb_slopes, fb_profiles = self.resident_collect(r.fallback)
+        fb = iter(zip(fb_slopes, fb_profiles))
+        bufH, bufW = r.pending.bufH, r.pending.bufW
+        slopes: List[float] = []
+        profiles = []
+        for i, (x, y, w, h) in enumerate(r.boxes):
+            j = r.mapping[i]
+            if j < 0:
+                sl, pr = next(fb)
+                slopes.append(sl)
+                profiles.append(pr)
+                continue
+            row = r.out[j]
+            slopes.append(float(row[5]))
+            profiles.append((row[6:6 + h],
+                             row[6 + bufH:6 + bufH + w]))
         return slopes, profiles
 
     # -- compatibility shims used by tests ------------------------------------

@@ -345,11 +345,15 @@ def extract_regions_and_textline_resident_raw(raws, boxes, scaled_hws,
                                               bool = False,
                                               raw_hws=None,
                                               textline_projection:
-                                              bool = False):
+                                              bool = False,
+                                              defer_fetch: bool = False):
     """Fused segmentation reading from RESIDENT raw pages (upload_raw) —
     the working canvas is gathered on device through exact nearest index
     maps. Returns [(region_mask, textline_labels[, textline_dev]), ...] or
-    None when the bundle can't do it."""
+    None when the bundle can't do it. With `defer_fetch` (single page,
+    projection mode), returns the runner's DeferredFusedRaw handle
+    instead — the caller enqueues the speculative deskew behind it, then
+    calls .fetch()."""
     region, textline = models.region, models.textline
     if not (hasattr(region, "predict_dual_tiled_resident_raw")
             and hasattr(textline, "input_hw")
@@ -358,6 +362,11 @@ def extract_regions_and_textline_resident_raw(raws, boxes, scaled_hws,
     k = cfg.morphology.kernel_size
     kwargs = _fused_kwargs(region.predict_dual_tiled_resident_raw, return_device_textline,
                            textline_projection)
+    if defer_fetch:
+        if not _accepts_kwarg(region.predict_dual_tiled_resident_raw,
+                              "defer_fetch"):
+            return None
+        kwargs["defer_fetch"] = True
     return region.predict_dual_tiled_resident_raw(
         textline, raws, boxes, scaled_hws, cfg.tiling.margin_ratio,
         morph=(("erode", k, cfg.morphology.region_erode_iterations),
@@ -365,6 +374,53 @@ def extract_regions_and_textline_resident_raw(raws, boxes, scaled_hws,
         mask_class=cfg.region.text_class_value,
         post_morph=(("open", k, 1), ("close", k, 1)), raw_hws=raw_hws,
         **kwargs)
+
+
+def deskew_spec_dispatch(engine: DeskewEngine, fused_handle, crop_hw,
+                         cfg: PipelineConfig):
+    """Enqueue the SPECULATIVE resident deskew behind a deferred fused
+    dispatch (see DeskewEngine spec section): device CC boxes replace the
+    blob-fetch -> host-contours -> dispatch dependency. Area bounds are
+    PERMISSIVE pixel-count versions of the host polygon-area filter
+    (main.py:473): pixel count >= shoelace area for filled components, so
+    half the min bound cannot drop a host-passing region, and the max
+    bound is widened the same way; false passes only waste slots — trust
+    comes from spec_finalize's exact box matching. Returns a _SpecPending
+    or None (speculation unavailable; the ordinary dispatch runs later)."""
+    if fused_handle is None or not getattr(fused_handle, "bits1", False) \
+            or not getattr(fused_handle, "proj", False):
+        return None
+    tl_dev = fused_handle.textline_dev
+    if tl_dev is None:
+        return None
+    area = float(crop_hw[0]) * float(crop_hw[1])
+    amin = 0.5 * cfg.region.min_area_ratio * area
+    ratio = cfg.region.max_area_ratio
+    amax = area if ratio >= 1.0 else min(area, 1.5 * ratio * area)
+    try:
+        return engine.spec_dispatch(
+            fused_handle.blob_dev, fused_handle.packed_nbytes,
+            fused_handle.big_hw, tl_dev, crop_hw, amin, amax,
+            slots=cfg.runtime.deskew_spec_slots)
+    except Exception:
+        logger.warning("speculative deskew dispatch failed; the ordinary "
+                       "dispatch will run after contours", exc_info=True)
+        return None
+
+
+def deskew_finalize_spec(spec_pending, boxes: List[List[int]],
+                         engine: DeskewEngine, textline_dev):
+    """Resolve a speculative deskew against the host contour boxes;
+    returns a handle for slopes_and_lines (engine.resident_collect) or
+    None (host fallback — same contract as deskew_dispatch_resident)."""
+    if spec_pending is None:
+        return deskew_dispatch_resident(boxes, engine, textline_dev)
+    try:
+        return engine.spec_finalize(spec_pending, boxes)
+    except Exception:
+        logger.warning("speculative deskew finalize failed for %d regions; "
+                       "host path will run", len(boxes), exc_info=True)
+        return None
 
 
 def extract_regions_and_textline_resident_raw_headless(
