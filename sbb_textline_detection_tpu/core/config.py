@@ -117,6 +117,18 @@ class LineSplitConfig:
     # behavior stays available at False (pipeline/lines.py keeps the
     # vertical variant verbatim as the parity oracle).
     vertical_axis_fix: bool = True
+    # DEVIATIONS #17 — contour peak band. The reference profiles the
+    # region's RECTANGULAR crop (main.py:539: dst is the unmasked bbox
+    # crop; the contour only shapes x-extents) — at high skew the bbox
+    # corner triangles carry NEIGHBOR regions' text whose projection
+    # mints junk peaks above/below the region's own band (measured: 1-10
+    # junk peaks/region at 18°, 18/20 regions over-split, MAE 2.2 with
+    # slopes exact — PERF.md round-5 probes). True: a peak outside the
+    # deskewed contour's profile extent (±contour_peak_band_pad) emits no
+    # line; surviving boxes are bit-identical to the unfiltered run.
+    # False restores the reference-faithful behavior.
+    contour_peak_band: bool = True
+    contour_peak_band_pad: float = 2.0
     # Generic / 2-peak case divisors (main.py:868-943):
     two_peak_div: float = 1.8
     generic_div: float = 1.9

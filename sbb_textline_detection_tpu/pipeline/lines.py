@@ -174,7 +174,7 @@ def _rot_box(rotation_matrix, x_d, y_d, corners):
 
 def separate_lines(img_patch: np.ndarray, contour: np.ndarray, theta: float,
                    cfg: LineSplitConfig = LineSplitConfig(),
-                   vertical: bool = False):
+                   vertical: bool = False, band=None):
     """Split a deskewed binary textline patch into per-line quads.
 
     Returns (peaks, boxes_rot): boxes_rot are 4-point quads in the original
@@ -185,18 +185,30 @@ def separate_lines(img_patch: np.ndarray, contour: np.ndarray, theta: float,
     y = img_patch.sum(axis=axis).astype(np.float64)
     h, w = img_patch.shape[:2]
     return separate_lines_from_profile(y, h, w, contour, theta, cfg,
-                                       vertical)
+                                       vertical, band)
 
 
 def separate_lines_from_profile(y: np.ndarray, h: int, w: int,
                                 contour: np.ndarray, theta: float,
                                 cfg: LineSplitConfig = LineSplitConfig(),
-                                vertical: bool = False):
+                                vertical: bool = False, band=None):
     """separate_lines when the deskewed patch's projection profile `y`
     (length h, or w when vertical — exactly img_patch.sum(axis)) was
     already computed, e.g. on device by the resident deskew program. All
     peak/box logic is identical; the patch itself is only ever consumed
-    through its shape and this profile."""
+    through its shape and this profile.
+
+    `band` (DEVIATIONS #17, optional (lo, hi)): a peak outside this
+    profile range emits NO line box. The profile spans the region's
+    RECTANGULAR crop (reference main.py:539, dst is the unmasked crop),
+    so at high skew the bbox corner triangles carry NEIGHBOR regions'
+    text, whose projection mints junk peaks above/below the region's own
+    band — the dominant term of the measured high-skew over-splitting
+    (PERF.md round-5 probes: slopes exact, counts over). The band is the
+    deskewed contour's extent: real lines' peaks lie strictly inside it.
+    Filtering at EMISSION only keeps every surviving line's box
+    bit-identical to the unfiltered run (neighbor spacing, strength
+    stats, and valley pairing are untouched)."""
     if vertical:
         theta = theta + 90.0  # main.py:996
 
@@ -255,6 +267,9 @@ def separate_lines_from_profile(y: np.ndarray, h: int, w: int,
                            x_min_cont, x_max_cont)
 
     def emit(jj, point_up, point_down):
+        if band is not None and not (band[0] <= peaks[jj] + first_nonzero
+                                     <= band[1]):
+            return
         x_min, x_max = extents.get(float(peaks[jj] + first_nonzero))
         if vertical:
             corners = [(point_up, y_min_cont), (point_down, y_min_cont),

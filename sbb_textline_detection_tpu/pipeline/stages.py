@@ -531,10 +531,25 @@ def textline_postprocess(crop_labels: np.ndarray, slope: float,
         # with vertical_axis_fix (DEVIATIONS #14) the rotated patch is
         # already horizontal-text, so the HORIZONTAL split applies
         _, boxes_rot = lines_mod.separate_lines(
-            dst, big, slope, cfg.line_split, vertical=vertical)
+            dst, big, slope, cfg.line_split, vertical=vertical,
+            band=_contour_band(big, cfg, vertical))
         return boxes_rot
     except Exception:
         return []
+
+
+def _contour_band(big: np.ndarray, cfg: PipelineConfig, vertical: bool):
+    """(lo, hi) profile band of the deskewed region contour, or None —
+    the DEVIATIONS #17 junk-peak filter (see LineSplitConfig
+    .contour_peak_band). The horizontal split profiles rows, so the band
+    is the rotated contour's y-extent; the reference-faithful vertical
+    variant keeps full-range parity (it is itself a preserved-bug path,
+    DEVIATIONS #14)."""
+    ls = cfg.line_split
+    if vertical or not getattr(ls, "contour_peak_band", False):
+        return None
+    pad = float(getattr(ls, "contour_peak_band_pad", 2.0))
+    return (float(np.min(big[:, 1])) - pad, float(np.max(big[:, 1])) + pad)
 
 
 def _contour_in_rotated_frame(contour: np.ndarray, slope: float,
@@ -566,7 +581,7 @@ def textline_postprocess_profile(profile_pair, slope: float,
         prof = profile_pair[1] if vertical else profile_pair[0]
         _, boxes_rot = lines_mod.separate_lines_from_profile(
             prof, box[3], box[2], big, slope, cfg.line_split,
-            vertical=vertical)
+            vertical=vertical, band=_contour_band(big, cfg, vertical))
         return boxes_rot
     except Exception:
         return []

@@ -123,3 +123,53 @@ def test_vertical_axis_fix_recovers_lines():
         line_split=LineSplitConfig(vertical_axis_fix=False))
     broken = stages.textline_postprocess(crop, -90.0, contour, box, cfg_ref)
     assert len(broken) <= 2  # the preserved reference behavior
+
+
+def test_band_filters_out_of_band_peaks_keeps_boxes_identical():
+    """DEVIATIONS #17: junk stripes outside the contour band emit no
+    line; every surviving box is BIT-IDENTICAL to the unfiltered run
+    (the filter acts at emission only, after all spacing/strength
+    logic)."""
+    img, contour = _striped_patch(h=480, w=600, n_lines=5)
+    img[6:18, 40:560] = 1          # neighbor-text junk above the contour
+    img[466:478, 40:560] = 1       # and below
+    contour = np.array([[5, 40], [595, 40], [595, 440], [5, 440]])
+    _, plain = lines.separate_lines(img, contour, 0.0)
+    _, banded = lines.separate_lines(img, contour, 0.0, band=(38.0, 442.0))
+    assert len(plain) == 7
+    assert len(banded) == 5
+    tops = sorted(range(len(plain)), key=lambda i: plain[i][:, 1].min())
+    kept = [plain[i] for i in tops[1:-1]]   # drop first/last (junk)
+    kept_sorted = sorted(kept, key=lambda b: b[:, 1].min())
+    banded_sorted = sorted(banded, key=lambda b: b[:, 1].min())
+    for a, b in zip(banded_sorted, kept_sorted):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_band_none_is_reference_faithful():
+    img, contour = _striped_patch(n_lines=4)
+    img[2:12, 40:560] = 1
+    _, plain = lines.separate_lines(img, contour, 0.0)
+    _, none_band = lines.separate_lines(img, contour, 0.0, band=None)
+    assert len(plain) == len(none_band)
+    for a, b in zip(plain, none_band):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_contour_band_stage_flag():
+    """stages._contour_band: on for the horizontal split, off for the
+    reference-faithful vertical variant and when the flag is False."""
+    import dataclasses
+
+    from sbb_textline_detection_tpu.core.config import DEFAULT_CONFIG
+    from sbb_textline_detection_tpu.pipeline import stages
+
+    big = np.array([[10.0, 50.0], [200.0, 52.0], [200.0, 340.0],
+                    [10.0, 338.0]])
+    band = stages._contour_band(big, DEFAULT_CONFIG, vertical=False)
+    assert band == (48.0, 342.0)
+    assert stages._contour_band(big, DEFAULT_CONFIG, vertical=True) is None
+    off = dataclasses.replace(
+        DEFAULT_CONFIG, line_split=dataclasses.replace(
+            DEFAULT_CONFIG.line_split, contour_peak_band=False))
+    assert stages._contour_band(big, off, vertical=False) is None
