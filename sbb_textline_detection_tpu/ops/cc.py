@@ -35,22 +35,64 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def _shift_fill(x: jax.Array, d: int, axis: int, reverse: bool, fill):
+    """`x` shifted by `d` along `axis` toward the scan direction (forward
+    scan reads from d EARLIER positions), vacated entries = `fill`."""
+    n = x.shape[axis]
+    pad = [(0, 0)] * x.ndim
+    if reverse:
+        pad[axis] = (0, d)
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(d, d + n)
+    else:
+        pad[axis] = (d, 0)
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(0, n)
+    return jnp.pad(x, pad, constant_values=fill)[tuple(sl)]
 
 
 def _seg_min_scan(m: jax.Array, g: jax.Array, axis: int,
                   reverse: bool) -> jax.Array:
     """Segmented running min along `axis`: position p receives the min of
     `m` over the contiguous True-run of `g` ending at p (from the scan
-    direction). m: int32 with sentinel at ~g; g: bool."""
+    direction). m: int32 with sentinel at ~g; g: bool.
 
-    def comb(a, b):
-        am, ag = a
-        bm, bg = b
-        return jnp.where(bg, jnp.minimum(bm, am), bm), ag & bg
+    Implemented as an explicit Hillis-Steele doubling loop (log2(n)
+    shift+where steps) rather than `lax.associative_scan`: the scan
+    primitive at page-canvas lengths (~2-3k) compiled pathologically
+    slowly on the serving TPU backend (>9 min observed for this op alone
+    vs 14 s for the whole program on XLA:CPU — PERF.md round-5). The
+    combine ((v,g) pairs: v' = g_b ? min(v_b, v_a) : v_b, g' = g_a & g_b)
+    is associative, so the doubling recurrence computes the identical
+    fixpoint; out-of-range neighbors use the operator identity
+    (+inf-like sentinel, True)."""
+    v, f = m, g
+    n = m.shape[axis]
+    big = np.int32(2 ** 30)
+    d = 1
+    while d < n:
+        pv = _shift_fill(v, d, axis, reverse, big)
+        pf = _shift_fill(f, d, axis, reverse, True)
+        v = jnp.where(f, jnp.minimum(v, pv), v)
+        f = f & pf
+        d *= 2
+    return v
 
-    mm, _ = jax.lax.associative_scan(comb, (m, g), axis=axis,
-                                     reverse=reverse)
-    return mm
+
+def _cumsum_flat_i32(x: jax.Array) -> jax.Array:
+    """Inclusive cumsum of a flat int32 array by the same doubling
+    scheme (see _seg_min_scan on why not lax/cumsum: jnp.cumsum lowers
+    through the same scan machinery on this backend)."""
+    v = x
+    n = x.shape[0]
+    d = 1
+    while d < n:
+        v = v + jnp.pad(v, (d, 0))[:n]
+        d *= 2
+    return v
 
 
 def label_components(mask: jax.Array) -> jax.Array:
@@ -111,19 +153,23 @@ def component_boxes_topk(mask: jax.Array, k: int,
     components compacted to the front in scan order; invalid rows are
     all-zero. Components beyond the first k (by scan order of their
     topmost-leftmost pixel) are simply absent."""
-    import numpy as np
-
     h, w = mask.shape
-    big = np.int32(h * w)
     lab = label_components(mask)
     iota = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
     # a pixel is its component's representative iff its label is its own
-    # flat index; the k smallest representative indices are the first k
-    # components in row-major scan order
-    rep = jnp.where(lab == iota, iota, big).reshape(-1)
-    reps = -jax.lax.top_k(-rep, k)[0]                 # k smallest, ascending
-    found = reps < big
-    hit = lab[None, :, :] == reps[:, None, None]      # (k, h, w)
+    # flat index; the rank of a rep in the cumsum of the rep indicator is
+    # its component's row-major scan-order index. (rank-gather instead of
+    # lax.top_k over h*w elements — same backend-compile concern as
+    # _seg_min_scan.)
+    is_rep = (lab == iota).reshape(-1)
+    rank_incl = _cumsum_flat_i32(is_rep.astype(jnp.int32))
+    # per-pixel slot = scan rank of its component (gather via lab, which
+    # IS the rep's flat index); background / beyond-first-k -> dump bin k
+    slot = jnp.where(mask.reshape(-1) != 0,
+                     rank_incl[lab.reshape(-1)] - 1, k)
+    slot = jnp.minimum(slot, k).reshape(h, w)
+    found = (jnp.arange(k) < rank_incl[-1])
+    hit = slot[None, :, :] == jnp.arange(k)[:, None, None]   # (k, h, w)
     area = hit.sum(axis=(1, 2)).astype(jnp.int32)
     rows = jnp.any(hit, axis=2)                       # (k, h)
     cols = jnp.any(hit, axis=1)                       # (k, w)
