@@ -49,6 +49,18 @@ from sbb_textline_detection_tpu.utils import stagetime
 MorphSpec = Tuple[Tuple[str, int, int], ...]
 
 
+def _balanced_chunk(total: int, cap: int) -> int:
+    """Largest lax.map chunk <= cap that divides the tile batch into
+    equal-size steps with (near-)zero padding: ceil(total/steps) for the
+    smallest step count whose chunk fits the cap. `min(cap, total)`
+    alone pads the batch up to a chunk multiple — a 108-tile grid at the
+    default cap 96 ran 2x96 = 192 tile forwards, 44% of the segmentation
+    FLOPs on padding tiles (PERF.md round-5 fused ablation); 2x54
+    computes exactly 108. The cap still bounds activation memory."""
+    steps = -(-total // max(1, min(cap, total)))
+    return -(-total // steps)
+
+
 class DeferredFusedRaw:
     """Dispatched-but-unfetched result of the single-page raw fused
     program (predict_dual_tiled_resident_raw(defer_fetch=True)): exposes
@@ -562,7 +574,7 @@ class SegmentationModel:
         mh, mw = self.input_hw
         sh, sw = mh - 2 * margin, mw - 2 * margin
         n = ny * nx
-        chunk = min(self.runtime.tile_chunk, n)
+        chunk = _balanced_chunk(n, self.runtime.tile_chunk)
         if self.mesh is not None:
             # SPMD: the tile batch shards over the mesh's data axis; the
             # whole padded batch runs as ONE forward (per-device sub-batch
@@ -1321,7 +1333,7 @@ class SegmentationModel:
         sh, sw = mh - 2 * margin, mw - 2 * margin
         n = ny * nx
         total = k * n
-        chunk = min(self.runtime.tile_chunk, total)
+        chunk = _balanced_chunk(total, self.runtime.tile_chunk)
         quantum = (int(self.mesh.shape["data"]) if self.mesh is not None
                    else chunk)
         n_pad = ((total + quantum - 1) // quantum) * quantum
@@ -1501,7 +1513,7 @@ class SegmentationModel:
         sh, sw = mh - 2 * margin, mw - 2 * margin
         n = ny * nx
         total = k * n
-        chunk = min(self.runtime.tile_chunk, total)
+        chunk = _balanced_chunk(total, self.runtime.tile_chunk)
         quantum = (int(self.mesh.shape["data"]) if self.mesh is not None
                    else chunk)
         n_pad = ((total + quantum - 1) // quantum) * quantum
@@ -1603,7 +1615,7 @@ class SegmentationModel:
         mh, mw = self.input_hw
         sh, sw = mh - 2 * margin, mw - 2 * margin
         n = ny * nx
-        chunk = min(self.runtime.tile_chunk, n)
+        chunk = _balanced_chunk(n, self.runtime.tile_chunk)
         quantum = (int(self.mesh.shape["data"]) if self.mesh is not None
                    else chunk)
         n_pad = ((n + quantum - 1) // quantum) * quantum

@@ -43,8 +43,8 @@ margin = int(cfg.tiling.margin_ratio * mw)
 sh, sw = mh - 2 * margin, mw - 2 * margin
 ny, nx = m.grid_for(box[2], box[3], cfg.tiling.margin_ratio)
 ch, cw = m.canvas_shape_for(th, tw, cfg.tiling.margin_ratio)
-raw_dev = m.upload_raw(page)
-raw_h, raw_w = page.shape
+raw_dev = jax.device_put(page)   # unpadded: the ablation compiles on
+raw_h, raw_w = page.shape        # the exact page shape
 iy = np.full(ch, -1, np.int32)
 ix = np.full(cw, -1, np.int32)
 iy[margin:margin + th] = resize_ops._nearest_indices(th, raw_h)
@@ -187,7 +187,7 @@ for st in STAGES:
 for st in STAGES:
     out = compiled[st](m.variables, other.variables, raw_dev[None],
                        boxes_a, iy_a, ix_a)
-    np.asarray(out[0] if isinstance(out, tuple) else out)[:8]
+    np.asarray(out[0] if isinstance(out, tuple) else out).reshape(-1)[:8]
 print("[ablate] warm done", flush=True)
 
 REPS = 6
