@@ -233,8 +233,17 @@ class RuntimeConfig:
     # dispatch (the r4 critical path). Host contour boxes are matched
     # against the device boxes BY VALUE at finalize; matched slots are
     # bit-exact with the ordinary dispatch, everything else falls back to
-    # it (pipeline/deskew.py spec section; DEVIATIONS #16).
-    spec_deskew: bool = True
+    # it (pipeline/deskew.py spec section; DEVIATIONS #16). MEASURED
+    # (scripts/ab_spec.py, paired interleaved, byte-identical outputs
+    # asserted): with 2 device-phase workers the pipeline is chip-EXEC
+    # bound, and the speculative program's added chip time (CC ~70 ms +
+    # 16 unconditionally-executed slots) loses to the dispatch latency it
+    # removes — post-contours dispatch won 3/3 rounds (2.82-3.83 vs
+    # 2.94-4.10 s per 8 pages). Default off; turn on for sequential /
+    # latency-sensitive single-page serving where the chip is otherwise
+    # idle during the blob fetch (the r5 timeline probe shows the fetch
+    # fully overlapping speculative execution there).
+    spec_deskew: bool = False
     # Slot count of the speculative program (first-k components in scan
     # order; regions beyond it fall back). One static shape: 16 covers
     # the bench corpus' ~12 regions/page with headroom; exec scales

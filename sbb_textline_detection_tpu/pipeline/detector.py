@@ -18,6 +18,7 @@
 
 from __future__ import annotations
 
+import functools
 import dataclasses
 import logging
 import os
@@ -811,6 +812,30 @@ class TextlineDetector:
                             - 2 * int(cfg.tiling.margin_ratio
                                       * region.input_hw[1])))
 
+        def _warm_crop_widths(region, th, tw):
+            """EVERY x-grid bucket a real (height, width) page can mint:
+            border crops range from the typical A4 crop up to the full
+            working width (skewed scans' content bboxes are wider), and
+            each distinct (ny, nx) keys its own fused + speculative +
+            resident-deskew programs. The r4 bench lost ~130 s of
+            warm-pass stalls to exactly these (VERDICT r4 #3/#4); a
+            25-30 s mid-run program load per missed grid was measured
+            again in the r5 timeline probe."""
+            mh, mw = region.input_hw
+            margin = int(cfg.tiling.margin_ratio * mw)
+            sw = mw - 2 * margin
+            lo = region.grid_for(th, min(tw, 8 * sw),
+                                 cfg.tiling.margin_ratio)[1]
+            hi = region.grid_for(th, tw, cfg.tiling.margin_ratio)[1]
+            widths, seen = [], set()
+            for nx in range(lo, hi + 1):
+                w = min(tw, nx * sw)
+                g = region.grid_for(th, w, cfg.tiling.margin_ratio)
+                if g not in seen:
+                    seen.add(g)
+                    widths.append(w)
+            return widths
+
         def warm_dual():
             if group <= 1:
                 return
@@ -860,29 +885,27 @@ class TextlineDetector:
                     return_device_textline=keep_dev,
                     textline_projection=tp)
 
-        def warm_raw_single():
-            """The production single-page path (runtime.raw_upload): the
-            raw-resident fused program at the A4-crop grid bucket with the
-            production (keep_dev, proj) variant. The fetch-free paths
-            (device_page_box / fused_page_box) have their own jobs."""
+        def _raw_single_enabled():
             rt = cfg.runtime
             region = self.models.region
-            if not (rt.resident_upload and getattr(rt, "raw_upload", False)
-                    and hasattr(region,
-                                "predict_dual_tiled_resident_raw")):
-                return
-            if getattr(rt, "fused_page_box", False) or \
-                    getattr(rt, "device_page_box", False):
-                return
+            return (rt.resident_upload and getattr(rt, "raw_upload", False)
+                    and hasattr(region, "predict_dual_tiled_resident_raw")
+                    and not getattr(rt, "fused_page_box", False)
+                    and not getattr(rt, "device_page_box", False))
+
+        def warm_raw_single(w):
+            """The production single-page path (runtime.raw_upload) at ONE
+            crop-grid bucket: the raw-resident fused program with the
+            production (keep_dev, proj) variant, plus the speculative
+            deskew program enqueued behind it exactly like
+            _device_phase_raw does. One job per _warm_crop_widths entry
+            so the per-grid 5-30 s program loads overlap."""
+            region = self.models.region
             image = np.full((height, width, 3), 255, np.uint8)
             th, tw = stages.working_dims(image, cfg)
             raw_dev = region.upload_raw(image[:, :, 0])
-            w = min(tw, _warm_crop_w(region))
+            w = min(tw, w)
             if tp and getattr(cfg.runtime, "spec_deskew", False):
-                # the production dispatch sequence: deferred fused
-                # program + the speculative deskew enqueued behind it
-                # (a new program shape — its 5-30 s first-dispatch load
-                # must overlap the others here, not hit page 0)
                 handle = stages.extract_regions_and_textline_resident_raw(
                     [raw_dev], [[0, 0, th, w]], [(th, tw)], self.models,
                     cfg, return_device_textline=True,
@@ -919,29 +942,34 @@ class TextlineDetector:
                 fetchfree = (getattr(cfg.runtime, "fused_page_box", False)
                              or getattr(cfg.runtime, "device_page_box",
                                         False))
-                w_grid = (page_img.shape[1] if fetchfree
-                          else _warm_crop_w(region))
-                ny, nx = region.grid_for(page_img.shape[0], w_grid,
-                                         cfg.tiling.margin_ratio)
-                mask = jnp.zeros((ny * (mh - 2 * margin),
-                                  nx * (mw - 2 * margin)), jnp.uint8)
-                side = max(8, int(s / self.deskew.cfg.pad_factor))
-                side = min(side, mask.shape[0], mask.shape[1])
+                th_w = page_img.shape[0]
+                w_grids = ([page_img.shape[1]] if fetchfree
+                           else _warm_crop_widths(region, th_w,
+                                                  page_img.shape[1]))
                 # the resident dispatch uses exactly two slot counts
                 # (tail<=2 -> 2 slots, else region_batch) and two crop
-                # buffer heights (<=1024 -> 1024, else cap): warm all four
-                # programs in parallel threads so the 5-30 s loads overlap
-                # (a tall box keeps s at the 512 cap but forces bufH=cap)
-                tall = min(1200, mask.shape[0])
+                # buffer heights (<=1024 -> 1024, else cap), PER canvas
+                # grid variant: warm every program in parallel threads so
+                # the 5-30 s loads overlap (a tall box keeps s at the 512
+                # cap but forces bufH=cap)
+                bthreads = []
+                for w_grid in w_grids:
+                    ny, nx = region.grid_for(th_w, w_grid,
+                                             cfg.tiling.margin_ratio)
+                    mask = jnp.zeros((ny * (mh - 2 * margin),
+                                      nx * (mw - 2 * margin)), jnp.uint8)
+                    side = max(8, int(s / self.deskew.cfg.pad_factor))
+                    side = min(side, mask.shape[0], mask.shape[1])
+                    tall = min(1200, mask.shape[0])
 
-                def warm_bucket(b, box_h):
-                    self.deskew.slopes_and_profiles_resident(
-                        mask, [[0, 0, side, box_h]] * b)
-                bthreads = [threading.Thread(target=warm_bucket,
-                                             args=(b, bh), daemon=True)
-                            for b in (min(2, self.deskew.region_batch),
-                                      self.deskew.region_batch)
-                            for bh in (side, tall)]
+                    def warm_bucket(b, box_h, mask=mask, side=side):
+                        self.deskew.slopes_and_profiles_resident(
+                            mask, [[0, 0, side, box_h]] * b)
+                    bthreads += [threading.Thread(target=warm_bucket,
+                                                  args=(b, bh), daemon=True)
+                                 for b in (min(2, self.deskew.region_batch),
+                                           self.deskew.region_batch)
+                                 for bh in (side, tall)]
                 for t in bthreads:
                     t.start()
                 for t in bthreads:
@@ -1003,9 +1031,17 @@ class TextlineDetector:
 
         jobs = [("page_model", warm_page_model), ("dual_multi", warm_dual),
                 ("dual_single", warm_dual_single),
-                ("raw_single", warm_raw_single), ("deskew", warm_deskew),
+                ("deskew", warm_deskew),
                 ("headless", warm_headless),
                 ("fullfused", warm_fullfused)]
+        if _raw_single_enabled():
+            # one job per crop-grid bucket a real page can mint (fused +
+            # speculative programs are keyed per grid)
+            image = np.full((height, width, 3), 255, np.uint8)
+            th_, tw_ = stages.working_dims(image, cfg)
+            for wv in _warm_crop_widths(self.models.region, th_, tw_):
+                jobs.append((f"raw_single_{wv}",
+                             functools.partial(warm_raw_single, wv)))
         threads = [threading.Thread(target=timed(n, f), daemon=True)
                    for n, f in jobs]
         for t in threads:
