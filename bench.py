@@ -73,6 +73,11 @@ PEAK_FLOPS = float(os.environ.get("SBB_BENCH_PEAK_FLOPS", 197e12))
 # under-trained the broader distribution (mean precision 0.887); v10 is
 # the same stream at the x6 schedule (1800 steps): mean precision 0.983,
 # recall 1.0, every figure-page speck FP gone (paired probe 2026-08-19).
+# v11 (tried, REVERTED): pinning 3 vertical + 2 high-skew pool pages
+# did not move vertical line recall (0.975 unchanged) and cost
+# figure-page precision 0.983 -> 0.913 (page 6: 0.611, 7 speck FPs)
+# — the v10 random mix's figure coverage was load-bearing. The
+# vertical residual is not a coverage problem (r5 TPU probe).
 # Repo-local (.gitignored): /tmp is wiped between container sessions and
 # the v10 dual-head schedule costs ~15 min of TPU training to rebuild.
 _CKPT_CACHE = os.environ.get(

@@ -574,8 +574,8 @@ _PAGE_POOL_SIZE = 14
 _BIT_BINARY, _BIT_BLOCK, _BIT_STROKE = 1, 2, 4
 
 
-def _render_pool_page(rng: np.random.Generator) -> Tuple[np.ndarray,
-                                                         np.ndarray]:
+def _render_pool_page(rng: np.random.Generator, kind: str | None = None
+                      ) -> Tuple[np.ndarray, np.ndarray]:
     """One pool entry: (gray_u8, packed) at WORKING resolution.
 
     gray_u8 is channel 0 of the page after the serve-exact global NEAREST
@@ -583,15 +583,24 @@ def _render_pool_page(rng: np.random.Generator) -> Tuple[np.ndarray,
     page-global Otsu binarization (bit 0; threshold scope = whole page,
     like the page-crop Otsu of runner's fused program) and the truth
     region-block / line-stroke masks (bits 1-2), PIL-rotated with the page
-    when skewed and resized through the same nearest index maps."""
+    when skewed and resized through the same nearest index maps.
+
+    `kind` pins the page category ("vertical" / "highskew" / None =
+    random draw) for targeted experiments. The production pool uses
+    all-random draws: pinning kinds was tried and reverted (vertical
+    recall unmoved, figure precision regressed — see _get_page_pool and
+    PERF.md round-5)."""
     from sbb_textline_detection_tpu.core.config import DEFAULT_CONFIG
     from sbb_textline_detection_tpu.ops import resize as resize_ops
     from sbb_textline_detection_tpu.ops import threshold as threshold_ops
     from sbb_textline_detection_tpu.pipeline import stages
 
-    vertical = rng.uniform() < 0.12
+    vertical = (kind == "vertical" if kind is not None
+                else rng.uniform() < 0.12)
     skew = 0.0
-    if not vertical and rng.uniform() < 0.6:
+    if kind == "highskew":
+        skew = float(rng.choice([-1.0, 1.0]) * rng.uniform(15.0, 25.0))
+    elif not vertical and rng.uniform() < 0.6:
         skew = float(rng.uniform(-25.0, 25.0))
     degrade = float(rng.uniform(0.3, 1.0)) if rng.uniform() < 0.4 else 0.0
     figures = int(rng.integers(1, 4)) if rng.uniform() < 0.5 else 0
@@ -633,6 +642,12 @@ def _get_page_pool(seed_rng: np.random.Generator) -> list:
     global _PAGE_POOL
     if _PAGE_POOL is None:
         pool_rng = np.random.default_rng(seed_rng.integers(2 ** 63))
+        # All-random draws (v10 distribution): a v11 experiment that
+        # pinned 3 vertical + 2 high-skew kinds did NOT move vertical
+        # line recall (0.975 unchanged) and cost figure-page precision
+        # 0.983 -> 0.913 — the random mix's figure coverage is
+        # load-bearing (PERF.md round-5). `kind` stays for targeted
+        # experiments.
         _PAGE_POOL = [_render_pool_page(pool_rng)
                       for _ in range(_PAGE_POOL_SIZE)]
     return _PAGE_POOL
