@@ -915,19 +915,44 @@ class DeskewEngine:
 
     def resident_collect(self, pending):
         """Fetch the results of resident_dispatch (or consume a
-        spec_finalize resolution): (slopes, profiles)."""
+        spec_finalize resolution): (slopes, profiles).
+
+        Multi-group pages fetch same-shaped group outputs as ONE
+        device->host transfer (a device-side concat enqueued behind the
+        groups): each per-group np.asarray costs a full tunnel round
+        trip (~35-70 ms latency) on the host phase's critical path, and
+        by the time group 0's fetch returns, the later groups have long
+        finished executing. Values are unchanged (concat then row-slice
+        is the identity)."""
         if isinstance(pending, _SpecResolved):
             return self._spec_collect(pending)
+        runs: List[list] = []
+        for p in pending:
+            out_dev, flops, group, bufH = p
+            if getattr(self, "collect_concat", True) and runs \
+                    and runs[-1][0][3] == bufH \
+                    and runs[-1][0][0].shape[1] == out_dev.shape[1]:
+                runs[-1].append(p)
+            else:
+                runs.append([p])
         slopes: List[float] = []
         profiles = []
-        for out_dev, flops, group, bufH in pending:
+        for run in runs:
+            flops = sum(p[1] for p in run)
             with stagetime.device_section(flops):
-                out = np.asarray(out_dev)
-            for i, (x, y, w, h) in enumerate(group):
-                slopes.append(float(out[i, 0]))
-                p1 = out[i, 1:1 + h]
-                p0 = out[i, 1 + bufH:1 + bufH + w]
-                profiles.append((p1, p0))
+                if len(run) == 1:
+                    out = np.asarray(run[0][0])
+                else:
+                    out = np.asarray(jnp.concatenate([p[0] for p in run]))
+            bufH = run[0][3]
+            row = 0
+            for out_dev, _, group, _ in run:
+                for i, (x, y, w, h) in enumerate(group):
+                    slopes.append(float(out[row + i, 0]))
+                    p1 = out[row + i, 1:1 + h]
+                    p0 = out[row + i, 1 + bufH:1 + bufH + w]
+                    profiles.append((p1, p0))
+                row += out_dev.shape[0]   # this group's slot count
         return slopes, profiles
 
     # -- speculative path (device region boxes) -------------------------------

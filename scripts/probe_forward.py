@@ -29,11 +29,11 @@ def time_variant(name, dtype, gn_dtype_f32=True):
     model = unet.TpuUnet(n_classes=SPEC.n_classes, widths=SPEC.widths,
                          dtype=dtype)
     rng = jax.random.PRNGKey(0)
-    x1 = jnp.zeros((1, SPEC.input_h, SPEC.input_w, SPEC.in_channels),
+    x1 = jnp.zeros((1, SPEC.input_height, SPEC.input_width, SPEC.in_channels),
                    jnp.float32)
     variables = model.init(rng, x1)
     tiles = jnp.asarray(np.random.default_rng(0).uniform(
-        size=(N_TILES, SPEC.input_h, SPEC.input_w, SPEC.in_channels)
+        size=(N_TILES, SPEC.input_height, SPEC.input_width, SPEC.in_channels)
     ).astype(np.float32))
 
     @jax.jit
