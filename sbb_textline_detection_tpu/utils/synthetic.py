@@ -503,7 +503,7 @@ def page_batch(rng: np.random.Generator, n: int, h: int, w: int
             for y in range(my, h - my - 2, pitch):
                 if rng.uniform() < 0.85:
                     img[y:y + max(1, pitch // 2),
-                        cx0 + 1:cx0 + col_w - int(rng.integers(1, col_w // 5))
+                        cx0 + 1:cx0 + col_w - int(rng.integers(1, max(2, col_w // 5)))
                         ] = rng.uniform(0.1, 0.5)
         if rng.uniform() < 0.3:
             # a figure block inside the printspace (bench figure pages):

@@ -150,7 +150,7 @@ def test_training_cli_resume(tmp_path, monkeypatch):
                            widths=(8, 16)))
     from sbb_textline_detection_tpu.training import cli as tcli
     args = ["--role", "page", "--out", str(tmp_path), "--steps", "3",
-            "--batch", "4", "--save-every", "2", "--log-every", "1"]
+            "--batch", "8", "--save-every", "2", "--log-every", "1"]
     res = CliRunner().invoke(tcli.main, args)
     assert res.exit_code == 0, res.output
     assert "checkpointed at step 2" in res.output
