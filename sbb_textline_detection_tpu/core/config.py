@@ -203,8 +203,11 @@ class RuntimeConfig:
     # Side of the fixed square canvas used for the batched deskew sweep.
     # Crops larger than canvas/pad_factor are downscaled into it (the
     # documented canvas deviation, pipeline/deskew.py); 512 halves the
-    # Radon GEMM time vs 1024 with no measurable angle drift on the
-    # skewed-page benchmark.
+    # Radon GEMM time vs 1024 with IDENTICAL recovered angles: the
+    # model-free sweep table (PERF.md round-5, scripts/
+    # probe_quality_tail.py) shows 512 == 1024 row for row at every
+    # skew 2.5-24 deg and on vertical text — the angle error is bounded
+    # by the coarse grid step (50/79 ~ 0.63 deg), not the canvas.
     deskew_canvas: int = 512
     # Use the exact point-in-polygon test against traced contours (reference
     # semantics) instead of the rasterized-mask fast path.
